@@ -1,0 +1,29 @@
+"""Test harness: run everything on a virtual 8-device CPU backend.
+
+The driver benches on real TPU; tests exercise the same code (including
+multi-chip shardings) on CPU via XLA's host-platform device-count flag
+(SURVEY.md §4e).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def tiny_volume(rng):
+    """A small 3-D 'MRI' volume with distinct values per voxel."""
+    return rng.normal(size=(12, 10, 6)).astype(np.float32)
