@@ -7,12 +7,20 @@ multi-chip shardings) on CPU via XLA's host-platform device-count flag
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session env points at a real TPU backend. The
+# environment may preimport jax (sitecustomize) before conftest runs, so the
+# env var alone is not enough — use jax.config, which wins as long as no
+# backend has been initialised yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
