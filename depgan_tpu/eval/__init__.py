@@ -1,0 +1,1 @@
+from . import metrics, predict, runner, writers  # noqa: F401

@@ -1,0 +1,65 @@
+"""Stochastic-ensemble inference engine.
+
+The reference runs 10 forward passes per subject with fresh noise, masks each
+with the 2tp ICV∧¬SL mask, and averages (`DEP-GAN_testing_4fold.py:616-628`,
+`DEP-UResNet_testing_4fold.py:552-564`) — ten separate ``predict`` calls,
+each a host->device round trip. Here the whole ensemble is one jitted call:
+``vmap`` over the repeat axis, mask+mean fused on device, so a subject costs
+one dispatch regardless of ensemble size.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class EnsemblePredictor:
+    """n_repeat stochastic forward passes, averaged on device.
+
+    ``model.apply(variables, x, z, train=False)`` with x (Z, H, W, C) and
+    per-repeat noise z (Z, noise_size, 1); output (Z, H, W, C_out).
+    """
+
+    def __init__(self, model, variables, n_repeat: int = 10, noise_size: int = 32,
+                 seed: int = 0):
+        self.model = model
+        self.variables = variables
+        self.n_repeat = n_repeat
+        self.noise_size = noise_size
+        self._key = jax.random.key(seed)
+
+        @partial(jax.jit, static_argnums=())
+        def _ensemble(variables, x, noises, mask):
+            def single(z):
+                return self.model.apply(variables, x, z, train=False)
+
+            preds = jax.vmap(single)(noises)  # (R, Z, H, W, C_out)
+            preds = preds * mask[None, ..., None]
+            return jnp.mean(preds, axis=0)  # (Z, H, W, C_out)
+
+        self._ensemble = _ensemble
+
+    def predict(self, x: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """Returns the masked ensemble mean, shape (Z, H, W, C_out).
+
+        ``mask`` is (Z, H, W) — the ICV∧¬SL mask at the 2nd time point.
+        """
+        n_slices = x.shape[0]
+        self._key, sub = jax.random.split(self._key)
+        noises = jax.random.normal(
+            sub, (self.n_repeat, n_slices, self.noise_size, 1), dtype=jnp.float32
+        )
+        out = self._ensemble(
+            self.variables, jnp.asarray(x), noises, jnp.asarray(mask)
+        )
+        return np.asarray(out)
+
+
+def reconstruct_follow_up(y1: np.ndarray, dem: np.ndarray) -> np.ndarray:
+    """Fake follow-up = baseline + DEM, clipped to [-1, 1]
+    (reference :675-677)."""
+    return np.clip(y1 + dem, -1.0, 1.0)
