@@ -1,0 +1,188 @@
+"""Command-line interface.
+
+The reference has no CLI — its scripts are edited in place then run
+(SURVEY.md §1 L0). Here every workload is a subcommand with flags mapping
+1:1 onto the reference's top-of-script constants:
+
+    depgan train-gan      --manifest-dir train_data_server_fold --pm --nicg 1
+    depgan train-uresnet  --manifest-dir train_data_server_fold
+    depgan test-gan       --weights 'models/netG_depgan_fold{fold}.h5'
+    depgan test-uresnet   --weights 'models/trained_depuresnet_fold{fold}.h5'
+    depgan import-weights --h5 netG.h5 --out vars.msgpack
+    depgan bench          [--what gen-inference|gan-step]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import (
+    DataConfig,
+    EvalConfig,
+    GanTrainConfig,
+    ModelConfig,
+    UResNetTrainConfig,
+)
+
+
+def _add_common(p: argparse.ArgumentParser, train_manifests: bool) -> None:
+    default_dir = "train_data_server_fold" if train_manifests else "test_data_server_fold"
+    p.add_argument("--manifest-dir", default=default_dir)
+    p.add_argument("--folds", type=int, nargs="+", default=[1, 2, 3, 4])
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--noise-size", type=int, default=32)
+    p.add_argument("--first-fm", type=int, default=32)
+    p.add_argument("--nicg", type=int, default=1, choices=(1, 2),
+                   help="generator input channels: 1=map, 2=map+FLAIR")
+    pm = p.add_mutually_exclusive_group()
+    pm.add_argument("--pm", dest="pm", action="store_true", default=True,
+                    help="probability maps (threshold 0.5, default)")
+    pm.add_argument("--im", dest="pm", action="store_false",
+                    help="irregularity maps (threshold 0.178)")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="route fused blocks through Pallas kernels")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 conv trunk")
+
+
+def _model_cfg(args, n_out=1, dropout="gan") -> ModelConfig:
+    return ModelConfig(
+        image_size=args.image_size,
+        noise_size=args.noise_size,
+        first_fm=args.first_fm,
+        n_input_channels=args.nicg if n_out == 1 else 1,
+        n_out=n_out,
+        dropout_mode=dropout,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        use_pallas=args.use_pallas,
+    )
+
+
+def _data_cfg(args) -> DataConfig:
+    return DataConfig(
+        manifest_dir=args.manifest_dir,
+        image_size=args.image_size,
+        n_input_channels=args.nicg,
+        use_probability_map=args.pm,
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="depgan", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train-gan", help="two-critic WGAN-GP training, 4-fold")
+    _add_common(p, train_manifests=True)
+    p.add_argument("--run-name", default="depgan_twoCritics")
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--d-iters", type=int, default=5)
+    p.add_argument("--bn-mode", choices=("frozen", "batch"), default="frozen")
+    p.add_argument("--threshold-mode", choices=("hard", "soft"), default="hard")
+    p.add_argument("--checkpoint-every", type=int, default=100)
+    p.add_argument("--reset-counters-per-fold", action="store_true")
+    p.add_argument("--model-dir", default="models")
+    p.add_argument("--log-dir", default="logdir")
+    p.add_argument("--n-data", type=int, default=-1,
+                   help="mesh data-parallel width (-1: all devices)")
+
+    p = sub.add_parser("train-uresnet", help="supervised 4-class training, 4-fold")
+    _add_common(p, train_manifests=True)
+    p.add_argument("--run-name", default="depuresnet_pNoises")
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--model-dir", default="models")
+    p.add_argument("--log-dir", default="logs")
+    p.add_argument("--n-data", type=int, default=-1)
+
+    p = sub.add_parser("test-gan", help="GAN inference + evaluation, 4-fold")
+    _add_common(p, train_manifests=False)
+    p.add_argument("--weights", required=True,
+                   help="pattern with {fold}, e.g. models/netG_x_fold{fold}.h5")
+    p.add_argument("--out-dir", default="outputs/depgan")
+    p.add_argument("--n-repeat", type=int, default=10)
+
+    p = sub.add_parser("test-uresnet", help="UResNet inference + evaluation, 4-fold")
+    _add_common(p, train_manifests=False)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--out-dir", default="outputs/depuresnet")
+    p.add_argument("--n-repeat", type=int, default=10)
+
+    p = sub.add_parser("import-weights", help="Keras .h5 -> variables sanity check")
+    _add_common(p, train_manifests=False)
+    p.add_argument("--h5", required=True)
+    p.add_argument("--n-out", type=int, default=1)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "train-gan":
+        from . import drivers
+        from .parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.n_data)
+        cfg = GanTrainConfig(
+            batch_size=args.batch_size, n_epochs=args.epochs, d_iters=args.d_iters,
+            bn_mode=args.bn_mode, threshold_mode=args.threshold_mode,
+            checkpoint_every=args.checkpoint_every,
+            reset_counters_per_fold=args.reset_counters_per_fold,
+        )
+        drivers.run_gan_training(
+            _model_cfg(args), cfg, _data_cfg(args), run_name=args.run_name,
+            folds=tuple(args.folds), log_dir=args.log_dir,
+            model_dir=args.model_dir, mesh=mesh,
+        )
+    elif args.cmd == "train-uresnet":
+        from . import drivers
+        from .parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.n_data)
+        cfg = UResNetTrainConfig(batch_size=args.batch_size, n_epochs=args.epochs)
+        drivers.run_uresnet_training(
+            _model_cfg(args, n_out=4, dropout="uresnet"), cfg, _data_cfg(args),
+            run_name=args.run_name, folds=tuple(args.folds),
+            log_dir=args.log_dir, model_dir=args.model_dir, mesh=mesh,
+        )
+    elif args.cmd == "test-gan":
+        from . import drivers
+        from .eval.runner import run_gan_testing
+
+        eval_cfg = EvalConfig(
+            n_repeat=args.n_repeat, use_probability_map=args.pm,
+            n_input_channels=args.nicg, output_dir=args.out_dir,
+        )
+        mc = _model_cfg(args)
+        results = run_gan_testing(
+            mc, _data_cfg(args), eval_cfg,
+            drivers.generator_loader(mc, args.weights), folds=tuple(args.folds),
+        )
+        print(json.dumps({"subjects": len(results)}))
+    elif args.cmd == "test-uresnet":
+        from . import drivers
+        from .eval.runner import run_uresnet_testing
+
+        eval_cfg = EvalConfig(
+            n_repeat=args.n_repeat, output_dir=args.out_dir,
+        )
+        mc = _model_cfg(args, n_out=4, dropout="uresnet")
+        results = run_uresnet_testing(
+            mc, _data_cfg(args), eval_cfg,
+            drivers.generator_loader(mc, args.weights), folds=tuple(args.folds),
+        )
+        print(json.dumps({"subjects": len(results)}))
+    elif args.cmd == "import-weights":
+        import jax
+
+        from .io import h5_import
+        from .models import init_generator
+
+        mc = _model_cfg(args, n_out=args.n_out,
+                        dropout="gan" if args.n_out == 1 else "uresnet")
+        _, variables = init_generator(mc, jax.random.key(0))
+        h5_import.import_keras_h5(args.h5, variables)
+        print(json.dumps({"status": "ok", "h5": args.h5}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

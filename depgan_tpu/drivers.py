@@ -1,0 +1,143 @@
+"""4-fold workload drivers: the framework-level equivalents of the
+reference's four top-level scripts.
+
+- :func:`run_gan_training`  == DEP-GAN_PROB_IM_twoCritics_training_4fold.py
+- :func:`run_uresnet_training` == DEP-UResNet-wNoises-training-4fold.py
+- eval/runner.py provides the two testing drivers.
+
+Folds run sequentially by default (reference `for fold in [1,2,3,4]`,
+`...twoCritics_training_4fold.py:506`); on a multi-chip mesh they can also
+run concurrently, one fold per device group (parallel/mesh.py fold axis).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from .config import (
+    DataConfig,
+    EvalConfig,
+    GanTrainConfig,
+    ModelConfig,
+    UResNetTrainConfig,
+)
+from .data import dataset
+from .data.dataset import train_val_split
+from .io import h5_import
+from .io.checkpoint import CheckpointManager, export_generator_h5, export_uresnet_h5
+from .models import init_critic, init_generator
+from .train import Counters, GanTrainer, UResNetTrainer
+from .utils.logging import Logger, LossHistory, NullLogger
+
+
+def run_gan_training(
+    model_cfg: ModelConfig,
+    train_cfg: GanTrainConfig,
+    data_cfg: DataConfig,
+    run_name: str = "depgan",
+    folds=(1, 2, 3, 4),
+    log_dir: str = "logdir",
+    model_dir: str = "models",
+    mesh=None,
+    use_tensorboard: bool = True,
+):
+    """Train the two-critic WGAN-GP on each fold (reference :506-894)."""
+    trainer = GanTrainer(model_cfg, train_cfg, data_cfg, mesh=mesh)
+    counters = Counters()
+    Path(model_dir).mkdir(parents=True, exist_ok=True)
+    states = {}
+
+    for fold in folds:
+        # Faithful quirk: counters persist across folds unless configured
+        # (reference :47-49,:506).
+        if train_cfg.reset_counters_per_fold:
+            counters = Counters()
+        logger = (
+            Logger(Path(log_dir) / f"{run_name}_fold{fold}")
+            if use_tensorboard
+            else NullLogger()
+        )
+        x, y = dataset.load_gan_training_fold(data_cfg, fold)
+        x_tr, x_val, y_tr, y_val = train_val_split(
+            x, y, data_cfg.val_fraction, data_cfg.split_seed
+        )
+        state = trainer.init_state(jax.random.key(train_cfg.seed + fold))
+        ckpt = CheckpointManager(Path(model_dir) / f"{run_name}_fold{fold}")
+
+        h5_path = Path(model_dir) / f"netG_{run_name}_fold{fold}.h5"
+
+        def checkpoint_fn(s, c):
+            ckpt.save(c.gen_iterations, s, c)
+            export_generator_h5(s, h5_path)
+
+        state, counters = trainer.fit_fold(
+            state, counters, x_tr, y_tr, x_val, y_val,
+            logger=logger, checkpoint_fn=checkpoint_fn, fold=fold,
+        )
+        ckpt.save(counters.gen_iterations, state, counters)
+        export_generator_h5(state, h5_path)
+        ckpt.close()
+        logger.close()
+        states[fold] = state
+    return states
+
+
+def run_uresnet_training(
+    model_cfg: ModelConfig,
+    train_cfg: UResNetTrainConfig,
+    data_cfg: DataConfig,
+    run_name: str = "depuresnet",
+    folds=(1, 2, 3, 4),
+    log_dir: str = "logs",
+    model_dir: str = "models",
+    mesh=None,
+):
+    """Supervised 4-class trainer per fold
+    (DEP-UResNet-wNoises-training-4fold.py:434-626)."""
+    trainer = UResNetTrainer(model_cfg, train_cfg, mesh=mesh)
+    Path(model_dir).mkdir(parents=True, exist_ok=True)
+    states = {}
+    for fold in folds:
+        name = f"{run_name}_fold{fold}"
+        x, y = dataset.load_uresnet_training_fold(data_cfg, fold)
+        x_tr, x_val, y_tr, y_val = train_val_split(
+            x, y, data_cfg.val_fraction, data_cfg.split_seed
+        )
+        state = trainer.init_state(jax.random.key(train_cfg.seed + fold))
+        ckpt = CheckpointManager(Path(model_dir) / name)
+        h5_path = Path(model_dir) / f"trained_{name}.h5"
+
+        def checkpoint_fn(s, epoch):
+            ckpt.save(epoch, s)
+            export_uresnet_h5(s, h5_path)
+
+        state = trainer.fit(
+            state, x_tr, y_tr, x_val, y_val,
+            loss_history=LossHistory(Path(log_dir) / f"loss_{name}.txt"),
+            val_loss_history=LossHistory(Path(log_dir) / f"val_loss_{name}.txt"),
+            checkpoint_fn=checkpoint_fn,
+        )
+        ckpt.close()
+        states[fold] = state
+    return states
+
+
+def generator_loader(model_cfg: ModelConfig, weights_pattern: str):
+    """``weights_for_fold`` factory for eval/runner.py: builds the generator
+    and imports ``weights_pattern.format(fold=k)`` (a Keras .h5 or an orbax
+    dir) — the reference's build + load_weights step
+    (`DEP-GAN_testing_4fold.py:380-384`)."""
+
+    def weights_for_fold(fold: int):
+        model, variables = init_generator(model_cfg, jax.random.key(0))
+        path = Path(weights_pattern.format(fold=fold))
+        if path.suffix == ".h5":
+            variables = h5_import.import_keras_h5(str(path), variables)
+        else:
+            raise ValueError(f"unsupported weights file: {path}")
+        return model, variables
+
+    return weights_for_fold

@@ -1,0 +1,1 @@
+from . import h5_import  # noqa: F401

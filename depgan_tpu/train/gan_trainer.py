@@ -1,0 +1,394 @@
+"""DEP-GAN two-critic WGAN-GP trainer.
+
+Reference behaviour (`...twoCritics_training_4fold.py:506-894`), re-designed
+for TPU execution:
+
+- The reference's hot loop makes 10-200 graph executions per generator step
+  (5-100 critic updates per critic, a 10x noise-probe, each a host round
+  trip). Here one **superstep** = one jitted call: ``lax.scan`` over the
+  critic-Y2 updates, ``lax.scan`` over the critic-DEM updates, a ``vmap``'d
+  best-of-k noise probe, and the generator update — everything on device.
+- The fold's slice data lives in HBM; supersteps receive only (D, B) index
+  stacks and gather on device.
+- Warm-up (100 critic iters when gen_iterations < 25 or % 500 == 0,
+  reference :792-797) selects a second compiled superstep with D=100 —
+  exactly two compiled variants, no recompile churn.
+- Epoch tails: the reference's inner loops stop early when the epoch runs
+  out of batches (``while j < Diters and i < batches``, reference :802).
+  Supersteps keep static shapes and mask those iterations out instead
+  (update = select(valid, new, old)).
+- Both critic loops sweep the *same* batch positions, and the generator
+  trains on the last of them, matching the reference's i/ii bookkeeping
+  (reference :802-829, :873-878).
+- Best-of-k noise (reference :868-878): k probes of the generator loss with
+  independent noise, vmapped into one device call; train on the argmin.
+- BN/Dropout: the reference's K.function graphs run at Keras learning-phase
+  0, so BN uses its never-updated moving stats and Dropout is off —
+  ``bn_mode='frozen'`` (default) reproduces that; ``'batch'`` trains BN
+  properly (see GanTrainConfig).
+- Counters are global across folds unless ``reset_counters_per_fold``
+  (faithful quirk, reference :47-49).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import DataConfig, GanTrainConfig, ModelConfig
+from ..data.pipeline import EpochShuffler
+from ..models.critic import make_critic
+from ..models.generator import make_generator
+from ..parallel import mesh as meshlib
+from .state import Counters, GanTrainState, tree_select
+from .wgan_gp import critic_step_loss, generator_loss
+
+
+@dataclass
+class SuperstepMetrics:
+    """Everything the reference logs, at full per-iteration resolution."""
+
+    crit_y2_real: np.ndarray  # (D,)
+    crit_y2_fake: np.ndarray
+    crit_dem_real: np.ndarray
+    crit_dem_fake: np.ndarray
+    n_valid: int
+    gen: dict  # errG, errG_CY2, errG_DEM, errG_MSE, errG_VOL, errG_WMH
+    best_noise_idx: int
+
+
+class GanTrainer:
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        train_cfg: GanTrainConfig,
+        data_cfg: DataConfig | None = None,
+        mesh=None,
+    ):
+        self.model_cfg = model_cfg
+        self.cfg = train_cfg
+        self.threshold = (data_cfg or DataConfig()).wmh_threshold
+        self.mesh = mesh
+        self.gen = make_generator(model_cfg)
+        self.critic = make_critic(model_cfg)
+        self.tx_d = optax.adam(train_cfg.lr_d, b1=train_cfg.adam_b1, b2=train_cfg.adam_b2)
+        self.tx_g = optax.adam(train_cfg.lr_g, b1=train_cfg.adam_b1, b2=train_cfg.adam_b2)
+        # Two compiled variants: normal (Diters) and warm-up (reference :792).
+        self._steps = {
+            train_cfg.d_iters: self._build_superstep(train_cfg.d_iters),
+            train_cfg.warmup_d_iters: self._build_superstep(train_cfg.warmup_d_iters),
+        }
+        self._val_step = self._build_val_step()
+
+    # ------------------------------------------------------------------ state
+
+    def init_state(self, rng) -> GanTrainState:
+        cfg = self.model_cfg
+        k1, k2, k3 = jax.random.split(rng, 3)
+        x = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.n_input_channels))
+        z = jnp.zeros((1, cfg.noise_size, 1))
+        img = jnp.zeros((1, cfg.image_size, cfg.image_size, 1))
+        gvars = self.gen.init({"params": k1}, x, z, train=False)
+        dy2 = self.critic.init({"params": k2}, img)["params"]
+        ddem = self.critic.init({"params": k3}, img)["params"]
+        state = GanTrainState(
+            g_params=gvars["params"],
+            g_stats=gvars.get("batch_stats", {}),
+            g_opt=self.tx_g.init(gvars["params"]),
+            dy2_params=dy2,
+            dy2_opt=self.tx_d.init(dy2),
+            ddem_params=ddem,
+            ddem_opt=self.tx_d.init(ddem),
+        )
+        if self.mesh is not None:
+            state = meshlib.put_replicated(state, self.mesh)
+        return state
+
+    # -------------------------------------------------------------- superstep
+
+    def _build_superstep(self, d_iters: int):
+        gen, critic = self.gen, self.critic
+        cfg, threshold = self.cfg, self.threshold
+        tx_d, tx_g = self.tx_d, self.tx_g
+        batch_bn = cfg.bn_mode == "batch"
+
+        def gen_forward(state, x, z):
+            """G forward as seen by the critic graphs — Keras learning-phase
+            0 (frozen moving stats, no dropout), reference :533."""
+            return gen.apply(
+                {"params": state.g_params, "batch_stats": state.g_stats},
+                x, z, train=False,
+            )
+
+        @partial(jax.jit, donate_argnums=0)
+        def superstep(state, x_all, y_all, idx, valid, key):
+            B = idx.shape[1]
+            noise_shape = (d_iters, B, self.model_cfg.noise_size, 1)
+            k_ny2, k_ey2, k_ndem, k_edem, k_probe, k_drop = jax.random.split(key, 6)
+            noises_y2 = jax.random.normal(k_ny2, noise_shape)
+            eps_y2 = jax.random.uniform(k_ey2, (d_iters, B, 1, 1, 1))
+            noises_dem = jax.random.normal(k_ndem, noise_shape)
+            eps_dem = jax.random.uniform(k_edem, (d_iters, B, 1, 1, 1))
+
+            # ---- critic Y2 inner loop (reference :802-814) ----
+            def crit_y2_body(carry, xs):
+                params, opt = carry
+                b_idx, z, ep, ok = xs
+                x = x_all[b_idx]
+                y2 = y_all[b_idx]
+                y1 = x[..., :1]
+                fake_y2 = y1 + gen_forward(state, x, z)
+
+                def loss_fn(p):
+                    cf = lambda img: critic.apply({"params": p}, img)
+                    return critic_step_loss(cf, y2, fake_y2, ep, cfg.gp_weight)
+
+                (_, (lr_, lf_)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                ups, new_opt = tx_d.update(grads, opt, params)
+                new_params = optax.apply_updates(params, ups)
+                carry = (
+                    tree_select(ok, new_params, params),
+                    tree_select(ok, new_opt, opt),
+                )
+                return carry, (lr_, lf_)
+
+            (dy2_params, dy2_opt), (y2_real, y2_fake) = jax.lax.scan(
+                crit_y2_body,
+                (state.dy2_params, state.dy2_opt),
+                (idx, noises_y2, eps_y2, valid),
+            )
+
+            # ---- critic DEM inner loop (reference :817-829) ----
+            def crit_dem_body(carry, xs):
+                params, opt = carry
+                b_idx, z, ep, ok = xs
+                x = x_all[b_idx]
+                y2 = y_all[b_idx]
+                y1 = x[..., :1]
+                dem_fake = gen_forward(state, x, z)
+                dem_real = y2 - y1
+
+                def loss_fn(p):
+                    cf = lambda img: critic.apply({"params": p}, img)
+                    return critic_step_loss(cf, dem_real, dem_fake, ep, cfg.gp_weight)
+
+                (_, (lr_, lf_)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                ups, new_opt = tx_d.update(grads, opt, params)
+                carry = (
+                    tree_select(ok, new_params := optax.apply_updates(params, ups), params),
+                    tree_select(ok, new_opt, opt),
+                )
+                return carry, (lr_, lf_)
+
+            (ddem_params, ddem_opt), (dem_real_l, dem_fake_l) = jax.lax.scan(
+                crit_dem_body,
+                (state.ddem_params, state.ddem_opt),
+                (idx, noises_dem, eps_dem, valid),
+            )
+
+            state = state.replace(
+                dy2_params=dy2_params, dy2_opt=dy2_opt,
+                ddem_params=ddem_params, ddem_opt=ddem_opt,
+            )
+
+            # ---- generator step on the last consumed batch (reference :873) ----
+            last = jnp.argmax(jnp.cumsum(valid.astype(jnp.int32))) # last valid iter
+            gen_idx = idx[last]
+            x = x_all[gen_idx]
+            y2 = y_all[gen_idx]
+            y1 = x[..., :1]
+
+            crit_y2_fn = lambda img: critic.apply({"params": state.dy2_params}, img)
+            crit_dem_fn = lambda img: critic.apply({"params": state.ddem_params}, img)
+
+            probe_noises = jax.random.normal(
+                k_probe, (cfg.k_noise, B, self.model_cfg.noise_size, 1)
+            )
+
+            # Best-of-k probe, no update (reference :868-877), one vmapped call.
+            def probe(z):
+                dem = gen_forward(state, x, z)
+                loss, _ = generator_loss(
+                    cfg, threshold, dem, y1, y2, crit_y2_fn, crit_dem_fn
+                )
+                return loss
+
+            probe_losses = jax.vmap(probe)(probe_noises)
+            best = jnp.argmin(probe_losses)
+            z_best = probe_noises[best]
+
+            def g_loss_fn(g_params):
+                variables = {"params": g_params, "batch_stats": state.g_stats}
+                if batch_bn:
+                    dem, ups = gen.apply(
+                        variables, x, z_best, train=True,
+                        rngs={"dropout": k_drop}, mutable=["batch_stats"],
+                    )
+                    new_stats = ups["batch_stats"]
+                else:
+                    dem = gen.apply(variables, x, z_best, train=False)
+                    new_stats = state.g_stats
+                loss, aux = generator_loss(
+                    cfg, threshold, dem, y1, y2, crit_y2_fn, crit_dem_fn
+                )
+                return loss, (aux, new_stats)
+
+            (_, (gen_aux, new_stats)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.g_params)
+            g_ups, g_opt = tx_g.update(g_grads, state.g_opt, state.g_params)
+            g_params = optax.apply_updates(state.g_params, g_ups)
+            state = state.replace(g_params=g_params, g_stats=new_stats, g_opt=g_opt)
+
+            metrics = {
+                "crit_y2_real": y2_real,
+                "crit_y2_fake": y2_fake,
+                "crit_dem_real": dem_real_l,
+                "crit_dem_fake": dem_fake_l,
+                "gen": gen_aux,
+                "best_noise_idx": best,
+            }
+            return state, metrics
+
+        return superstep
+
+    def _build_val_step(self):
+        gen, critic = self.gen, self.critic
+
+        @jax.jit
+        def val_step(state, x_val, y2_val, fixed_noise):
+            """Validation critic scores (reference :846-848)."""
+            y1 = x_val[..., :1]
+            d_fake = jnp.mean(critic.apply({"params": state.dy2_params}, y1))
+            d_real = jnp.mean(critic.apply({"params": state.dy2_params}, y2_val))
+            dem = gen.apply(
+                {"params": state.g_params, "batch_stats": state.g_stats},
+                x_val, fixed_noise, train=False,
+            )
+            d_gen = jnp.mean(critic.apply({"params": state.dy2_params}, dem + y1))
+            return d_fake, d_real, d_gen
+
+        return val_step
+
+    # ------------------------------------------------------------------- fit
+
+    def _d_iters_for(self, counters: Counters) -> int:
+        c = self.cfg
+        if counters.gen_iterations < c.warmup_until or (
+            counters.gen_iterations % c.warmup_every == 0
+        ):
+            return c.warmup_d_iters
+        return c.d_iters
+
+    def superstep(self, state, x_all, y_all, idx_block, n_valid, key):
+        """Run one superstep with a (D, B) index block, of which the first
+        ``n_valid`` rows are real batches (rest are padding)."""
+        d = idx_block.shape[0]
+        valid = jnp.arange(d) < n_valid
+        state, metrics = self._steps[d](state, x_all, y_all, jnp.asarray(idx_block),
+                                        valid, key)
+        return state, metrics
+
+    def fit_fold(
+        self,
+        state: GanTrainState,
+        counters: Counters,
+        x_train: np.ndarray,
+        y_train: np.ndarray,
+        x_val: np.ndarray,
+        y_val: np.ndarray,
+        n_epochs: int | None = None,
+        logger=None,
+        checkpoint_fn=None,
+        fold: int = 1,
+        seed: int | None = None,
+    ) -> tuple[GanTrainState, Counters]:
+        cfg = self.cfg
+        n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
+        key = jax.random.key(seed if seed is not None else cfg.seed + fold)
+
+        def put(arr):
+            return (
+                meshlib.put_replicated(jnp.asarray(arr), self.mesh)
+                if self.mesh is not None
+                else jnp.asarray(arr)
+            )
+
+        x_all, y_all = put(x_train), put(y_train)
+        xv, yv = put(x_val), put(y_val)
+        key, vk = jax.random.split(key)
+        fixed_noise = jax.random.normal(
+            vk, (x_val.shape[0], self.model_cfg.noise_size, 1)
+        )
+        shuffler = EpochShuffler(x_train.shape[0], cfg.batch_size, cfg.seed + fold)
+        t0 = time.time()
+        log = logger.log_scalar if logger is not None else (lambda *a: None)
+
+        for epoch in range(n_epochs):
+            idx_epoch = shuffler.epoch()
+            n_batches = idx_epoch.shape[0]
+            i = 0
+            while i < n_batches:
+                d = self._d_iters_for(counters)
+                n_valid = min(d, n_batches - i)
+                block = np.zeros((d, cfg.batch_size), np.int32)
+                block[:n_valid] = idx_epoch[i : i + n_valid]
+                i += n_valid
+
+                key, sk = jax.random.split(key)
+                state, metrics = self.superstep(state, x_all, y_all, block, n_valid, sk)
+
+                # --- logging at reference-equivalent resolution ---
+                y2r = np.asarray(metrics["crit_y2_real"])[:n_valid]
+                y2f = np.asarray(metrics["crit_y2_fake"])[:n_valid]
+                dr = np.asarray(metrics["crit_dem_real"])[:n_valid]
+                df = np.asarray(metrics["crit_dem_fake"])[:n_valid]
+                for j in range(n_valid):
+                    log("errCrit_aaLosses", y2r[j] - y2f[j], counters.crit_iterations + j)
+                    log("errCrit_aReal_losses", y2r[j], counters.crit_iterations + j)
+                    log("errCrit_aFake_losses", y2f[j], counters.crit_iterations + j)
+                    log("errCrit_DEM_aaLosses", dr[j] - df[j], counters.crit_dem_iterations + j)
+                    log("errCrit_DEM_aReal_losses", dr[j], counters.crit_dem_iterations + j)
+                    log("errCrit_DEM_aFake_losses", df[j], counters.crit_dem_iterations + j)
+                counters = counters.replace(
+                    crit_iterations=counters.crit_iterations + n_valid,
+                    crit_dem_iterations=counters.crit_dem_iterations + n_valid,
+                )
+                gi = counters.gen_iterations
+                log("errDC_aaLosses", y2r[-1] - y2f[-1], gi)
+                log("errDC_aReal_losses", y2r[-1], gi)
+                log("errDC_aFake_losses", y2f[-1], gi)
+                log("errDC_DEM_aaLosses", dr[-1] - df[-1], gi)
+                log("errDC_DEM_aReal_losses", dr[-1], gi)
+                log("errDC_DEM_aFake_losses", df[-1], gi)
+                gen_aux = {k: float(v) for k, v in metrics["gen"].items()}
+                for tag, kname in [
+                    ("errG_losses", "errG"), ("errG_CY2_losses", "errG_CY2"),
+                    ("errG_DEM_losses", "errG_DEM"), ("errG_MSE_losses", "errG_MSE"),
+                    ("errG_VOL_losses", "errG_VOL"), ("errG_WMH_losses", "errG_WMH"),
+                ]:
+                    log(tag, gen_aux[kname], gi)
+
+                # --- validation (reference :842-855) ---
+                if gi % cfg.validate_every == 0:
+                    d_fake, d_real, d_gen = self._val_step(state, xv, yv, fixed_noise)
+                    log("val_D_fake_loss", float(d_fake), gi)
+                    log("val_D_real_loss", float(d_real), gi)
+                    log("val_D_real_generated_loss", float(d_gen), gi)
+                    print(
+                        f"TRN FOLD {fold} [{epoch}/{n_epochs}][{i}/{n_batches}]"
+                        f"[{gi}] errD {y2r[-1] - y2f[-1]:+.4f} "
+                        f"errG {gen_aux['errG']:+.4f} ({time.time() - t0:.1f}s)"
+                    )
+
+                counters = counters.replace(gen_iterations=gi + 1)
+                if checkpoint_fn is not None and (gi + 1) % cfg.checkpoint_every == 0:
+                    checkpoint_fn(state, counters)
+
+        return state, counters

@@ -1,0 +1,1 @@
+from . import logging, tb_writer  # noqa: F401
