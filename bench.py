@@ -1,8 +1,13 @@
-"""Benchmark: generator stochastic-ensemble inference throughput.
+"""Benchmark: generator inference throughput (256x256 slices/sec/chip).
 
-Measures 256x256 slices/sec/chip through the flagship DEP-GAN generator
-(the reference's hot inference path, `DEP-GAN_testing_4fold.py:616-628`),
-against the BASELINE.json north-star target of 5,000 slices/sec/chip.
+Measures the flagship DEP-GAN generator forward (the reference's hot
+inference path, `DEP-GAN_testing_4fold.py:616-628`) against the
+BASELINE.json north-star target of 5,000 slices/sec/chip.
+
+Methodology: the iteration loop runs ON DEVICE via lax.scan with a
+data-dependency chain (each step consumes the previous carry), so remote
+dispatch latency cannot fake throughput; per-iteration time is the
+difference of two scan lengths, cancelling the single-dispatch overhead.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -30,24 +35,32 @@ def main() -> None:
 
     batch = 64
 
-    @jax.jit
-    def forward(variables, x, z):
-        return model.apply(variables, x, z, train=False)
+    def forward_scan(variables, x, zs):
+        def body(carry, z):
+            y = model.apply(variables, carry, z, train=False)
+            # tanh keeps the chain algebraically irreducible; the final
+            # scalar is fetched to host, which is the only operation the
+            # remote runtime genuinely blocks on.
+            return jnp.tanh(carry + 1e-12 * y), jnp.sum(y)
 
-    x = jnp.ones((batch, 256, 256, 1), jnp.float32)
-    z = jax.random.normal(jax.random.key(1), (batch, 32, 1))
+        _, sums = jax.lax.scan(body, x, zs)
+        return jnp.sum(sums)
 
-    # Warm-up / compile.
-    forward(variables, x, z).block_until_ready()
+    fns = {n: jax.jit(forward_scan) for n in (4, 24)}
+    x = jax.random.uniform(jax.random.key(0), (batch, 256, 256, 1))
+    times = {}
+    for n, fn in fns.items():
+        zs = jax.random.normal(jax.random.key(1), (n, batch, 32, 1))
+        float(fn(variables, x, zs))  # compile + execute
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(variables, x, zs))
+            reps.append(time.perf_counter() - t0)
+        times[n] = min(reps)
 
-    n_iters = 30
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = forward(variables, x, z)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    slices_per_sec = batch * n_iters / dt
+    per_iter = (times[24] - times[4]) / 20.0
+    slices_per_sec = batch / per_iter
     print(
         json.dumps(
             {

@@ -1,0 +1,1 @@
+from . import film_pallas, fold_bn  # noqa: F401

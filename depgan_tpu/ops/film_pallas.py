@@ -1,0 +1,108 @@
+"""Pallas TPU kernel: fused FiLM modulation + residual add.
+
+Computes ``out = trunk + relu(h * gamma + beta)`` — the per-site noise
+modulation of the generator (reference `...twoCritics_training_4fold.py:
+403-407`) — in a single VMEM pass instead of four HBM-bound elementwise ops.
+
+Layout: (B, H, W, C) tensors are viewed as (B, H*W, C) blocks; the grid
+walks (batch, row-tile); gamma/beta are (B, C) vectors broadcast across the
+row tile from VMEM. The kernel is pure VPU work: its value is fusing the
+whole chain into one read of h/trunk and one write of out (3 reads + 1
+write vs 4+ passes when unfused), i.e. it is HBM-bandwidth-optimal.
+
+A custom VJP keeps the op differentiable: the backward pass re-derives the
+ReLU mask from the saved activations analytically, so nothing extra is
+stored.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _film_kernel(h_ref, gamma_ref, beta_ref, trunk_ref, out_ref):
+    gamma = gamma_ref[:]  # (1, C)
+    beta = beta_ref[:]
+    h = h_ref[:]  # (rows, C)
+    out_ref[:] = trunk_ref[:] + jnp.maximum(h * gamma + beta, 0.0)
+
+
+def _row_tile(n_rows: int, dtype) -> int:
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    for tile in (512, 256, 128, 64, 32, 16, 8):
+        if tile % sub == 0 and n_rows % tile == 0:
+            return tile
+    return n_rows
+
+
+def _interpret() -> bool:
+    # Mosaic only targets TPU; everywhere else run the kernel interpreted
+    # (tests exercise the same code path on the CPU backend).
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def film_residual(h, gamma, beta, trunk):
+    """trunk + relu(h * gamma[:, None, None, :] + beta[...]); all (B,H,W,C),
+    gamma/beta (B, C)."""
+    return _film_forward(h, gamma, beta, trunk)
+
+
+def _film_forward(h, gamma, beta, trunk):
+    b, hh, ww, c = h.shape
+    rows = hh * ww
+    h2 = h.reshape(b, rows, c)
+    t2 = trunk.reshape(b, rows, c)
+    tile = _row_tile(rows, h.dtype)
+    grid = (b, rows // tile)
+
+    out = pl.pallas_call(
+        _film_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, rows, c), h.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(h2, gamma.astype(h.dtype), beta.astype(h.dtype), t2)
+    return out.reshape(b, hh, ww, c)
+
+
+def _film_fwd(h, gamma, beta, trunk):
+    out = _film_forward(h, gamma, beta, trunk)
+    return out, (h, gamma, beta)
+
+
+def _film_bwd(res, g):
+    h, gamma, beta = res
+    gb = gamma[:, None, None, :]
+    bb = beta[:, None, None, :]
+    mask = (h * gb + bb) > 0
+    g_masked = jnp.where(mask, g, 0.0)
+    dh = g_masked * gb
+    dgamma = jnp.sum(g_masked * h, axis=(1, 2))
+    dbeta = jnp.sum(g_masked, axis=(1, 2))
+    dtrunk = g
+    return dh, dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype), dtrunk
+
+
+film_residual.defvjp(_film_fwd, _film_bwd)
+
+
+def film_residual_reference(h, gamma, beta, trunk):
+    """Plain-XLA reference implementation (models/film.py semantics)."""
+    return trunk + jax.nn.relu(h * gamma[:, None, None, :] + beta[:, None, None, :])
