@@ -32,7 +32,7 @@ from .manifest import (
 
 
 def _load_slices(path: str) -> np.ndarray:
-    return nifti.volume_to_slices(nifti.load(path).image)
+    return nifti.volume_to_slices(nifti.load_auto(path).image)
 
 
 def load_gan_training_fold(cfg: DataConfig, fold: int) -> tuple[np.ndarray, np.ndarray]:

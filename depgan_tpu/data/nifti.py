@@ -215,6 +215,21 @@ def save(image: np.ndarray, affine: np.ndarray, path: str | Path, pixdim=None) -
             f.write(payload)
 
 
+def load_auto(path: str | Path) -> NiftiVolume:
+    """Load via the native C++ reader (native/niftio.cpp) when built, else
+    the pure-numpy reader. The native path returns float32 voxels — fine for
+    every pipeline here, which converts to float32 at slice extraction
+    anyway (reference `data_prep`, :112)."""
+    try:
+        from . import native
+
+        if native.available():
+            return native.load_native(path)
+    except Exception:
+        pass
+    return load(path)
+
+
 def volume_to_slices(volume: np.ndarray) -> np.ndarray:
     """3-D volume (X, Y, Z) -> axial slice stack (Z, X, Y, 1) float32 NHWC.
 
