@@ -27,17 +27,20 @@ def main() -> None:
     from depgan_tpu.config import ModelConfig
     from depgan_tpu.models import init_generator
 
+    from depgan_tpu.ops.fast_gen import FastGenerator
+
     cfg = ModelConfig(
         image_size=256, first_fm=32, n_input_channels=1,
         compute_dtype="bfloat16",
     )
     model, variables = init_generator(cfg, jax.random.key(0))
+    fast = FastGenerator(cfg, variables)  # folded BN + s2d convs, bf16
 
     batch = 64
 
-    def forward_scan(variables, x, zs):
+    def forward_scan(weights, x, zs):
         def body(carry, z):
-            y = model.apply(variables, carry, z, train=False)
+            y = fast._forward(weights, carry, z)
             # tanh keeps the chain algebraically irreducible; the final
             # scalar is fetched to host, which is the only operation the
             # remote runtime genuinely blocks on.
@@ -45,6 +48,8 @@ def main() -> None:
 
         _, sums = jax.lax.scan(body, x, zs)
         return jnp.sum(sums)
+
+    variables = fast.weights
 
     fns = {n: jax.jit(forward_scan) for n in (4, 24)}
     x = jax.random.uniform(jax.random.key(0), (batch, 256, 256, 1))

@@ -25,17 +25,32 @@ class EnsemblePredictor:
     """
 
     def __init__(self, model, variables, n_repeat: int = 10, noise_size: int = 32,
-                 seed: int = 0):
+                 seed: int = 0, fast: bool = False, model_cfg=None):
         self.model = model
         self.variables = variables
         self.n_repeat = n_repeat
         self.noise_size = noise_size
         self._key = jax.random.key(seed)
 
+        if fast:
+            # MXU-optimised inference path: folded BN + space-to-depth convs
+            # (ops/fast_gen.py); numerically ~1e-3 of the reference module.
+            from ..ops.fast_gen import FastGenerator
+
+            assert model_cfg is not None, "fast=True requires model_cfg"
+            fg = FastGenerator(model_cfg, variables)
+
+            def apply_fn(variables, x, z):
+                del variables
+                return fg._forward(fg.weights, x, z)
+        else:
+            def apply_fn(variables, x, z):
+                return self.model.apply(variables, x, z, train=False)
+
         @partial(jax.jit, static_argnums=())
         def _ensemble(variables, x, noises, mask):
             def single(z):
-                return self.model.apply(variables, x, z, train=False)
+                return apply_fn(variables, x, z)
 
             preds = jax.vmap(single)(noises)  # (R, Z, H, W, C_out)
             preds = preds * mask[None, ..., None]

@@ -1,0 +1,240 @@
+"""FastGenerator — MXU-optimised inference forward for Gen_UNet2D.
+
+Semantically identical to ``model.apply(vars, x, z, train=False)``
+(validated to ~1e-3 by tests/test_fast_gen.py) but restructured for TPU
+execution:
+
+- BatchNorm folded into conv/dense/deconv weights (ops/fold_bn.py) — zero
+  normalisation passes at runtime;
+- the full- and half-resolution stages (32/64 channels — where XLA's conv
+  hits ~21/43 TFLOPS on the 128-lane MXU) run in the space-to-depth domain
+  (ops/s2d_conv.py) as 2x2 convs over 128/256 channels (~128 TFLOPS);
+- max-pools in s2d collapse to channel-group maxes; Conv2DTranspose
+  upsamples are the per-pixel matmul of models/blocks.Deconv2x2, emitting
+  the next level's s2d layout directly (the pixel-shuffle is free);
+- compute in bfloat16, params float32, head in float32.
+
+Used by the ensemble predictor (eval/predict.py, ``fast=True``) and the
+benchmark. Training keeps the reference module (gradients need BN and
+dropout machinery); this path is inference-only by design.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import ModelConfig
+from . import s2d_conv as S
+from .fold_bn import fold_batch_norms
+
+SITES_IN_ORDER = ("m1", "m2", "m3", "p4", "p3", "p2", "p1")
+
+
+def _conv(x, w, b):
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y + b
+
+
+def _deconv_matmul(x, kernel, bias):
+    """Per-pixel matmul of Deconv2x2; returns UNSHIFTED s2d layout
+    (B, N, N, 4O) at the upsampled level."""
+    b, h, w, cin = x.shape
+    o = kernel.shape[2]
+    w2 = jnp.transpose(kernel, (3, 0, 1, 2)).reshape(cin, 4 * o)
+    y = jnp.dot(x, w2) + jnp.tile(bias, 4)
+    return y  # (B, h, w, 4O) == unshifted s2d of the (2h, 2w, O) output
+
+
+class FastGenerator:
+    """Precomputes transformed weights; exposes a jittable ``forward``."""
+
+    def __init__(self, cfg: ModelConfig, variables: dict,
+                 s2d_levels: tuple[int, ...] = (1, 2),
+                 compute_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.s2d_levels = set(s2d_levels)
+        self.dtype = compute_dtype
+        folded = fold_batch_norms(variables)
+        p = jax.tree.map(np.asarray, folded["params"])
+        W: dict[str, jnp.ndarray] = {}
+
+        def put(name, arr):
+            W[name] = jnp.asarray(np.asarray(arr), dtype=jnp.float32)
+
+        # --- noise encoder ---
+        enc = p["noise_encoder"]
+        for name in ("noise_1_add_f0", "noise_1_add_f1"):
+            d = enc[name][f"block_{name}"][f"dense_{name}"]
+            put(f"{name}/kernel", d["kernel"])
+            put(f"{name}/bias", d["bias"])
+        for site in SITES_IN_ORDER:
+            for kind in ("mul", "add"):
+                lname = f"noise_2_{kind}" if site == "p4" else f"noise_2_{kind}_{site}"
+                d = enc[lname][f"dense_{lname}"]
+                put(f"{lname}/kernel", d["kernel"])
+                put(f"{lname}/bias", d["bias"])
+
+        # --- conv trunk ---
+        def conv_leaf(*path):
+            node = p
+            for k in path:
+                node = node[k]
+            return node["kernel"], node["bias"]
+
+        def put_conv(tag, block, lname, level):
+            if block.startswith("film_"):
+                # FilmSite nests its ConvBN one level deeper (models/film.py).
+                k, b = conv_leaf(block, lname.replace("conv2d_", "block_"), lname)
+            else:
+                k, b = conv_leaf(block, lname)
+            if level in self.s2d_levels:
+                k4, b4 = S.conv3x3_to_s2d_kernel(k, b)
+                put(f"{tag}/kernel", k4)
+                put(f"{tag}/bias", b4)
+            else:
+                put(f"{tag}/kernel", k)
+                put(f"{tag}/bias", b)
+
+        # encoder levels: (site, conv_in, conv_out, level)
+        self.enc_spec = [
+            ("m1", "gen_0", "gen_1", 1),
+            ("m2", "gen_2", "gen_3", 2),
+            ("m3", "gen_4", "gen_5", 3),
+        ]
+        self.mid_spec = ("p4", "gen_8", "gen_9", 4)
+        self.dec_spec = [
+            ("p3", "gen_10", "gen_11", 3, "de_gen_9"),
+            ("p2", "gen_14", "gen_15", 2, "de_gen_11"),
+            ("p1", "gen_16", "gen_17", 1, "de_gen_15"),
+        ]
+        for site, cin, cout, level in self.enc_spec + [self.mid_spec]:
+            put_conv(cin, f"block_{cin}", f"conv2d_{cin}", level)
+            put_conv(f"noise_{site}", f"film_{site}", f"conv2d_gen_noise_{site}", level)
+            put_conv(cout, f"block_{cout}", f"conv2d_{cout}", level)
+        for site, cin, cout, level, deconv in self.dec_spec:
+            put_conv(cin, f"block_{cin}", f"conv2d_{cin}", level)
+            put_conv(f"noise_{site}", f"film_{site}", f"conv2d_gen_noise_{site}", level)
+            put_conv(cout, f"block_{cout}", f"conv2d_{cout}", level)
+            d = p[f"block_{deconv}"][f"deconv2d_{deconv}"]
+            put(f"{deconv}/kernel", d["kernel"])
+            put(f"{deconv}/bias", d["bias"])
+
+        seg = p["gen_segmentation"]
+        if 1 in self.s2d_levels:
+            k4, b4 = S.conv1x1_to_s2d_kernel(seg["kernel"], seg["bias"])
+            put("gen_segmentation/kernel", k4)
+            put("gen_segmentation/bias", b4)
+        else:
+            put("gen_segmentation/kernel", seg["kernel"])
+            put("gen_segmentation/bias", seg["bias"])
+
+        self.weights = W
+        self._jit_forward = jax.jit(self._forward)
+
+    # ------------------------------------------------------------------
+
+    def _site_mods(self, W, z):
+        """Noise pathway (reference :357-395): returns {site: (gamma, beta)}."""
+        h = z
+        for name in ("noise_1_add_f0", "noise_1_add_f1"):
+            h = jax.nn.relu(h @ W[f"{name}/kernel"] + W[f"{name}/bias"])
+        h = h.reshape(h.shape[0], -1)
+        mods = {}
+        for site in SITES_IN_ORDER:
+            mn = "noise_2_mul" if site == "p4" else f"noise_2_mul_{site}"
+            an = "noise_2_add" if site == "p4" else f"noise_2_add_{site}"
+            gamma = h @ W[f"{mn}/kernel"] + W[f"{mn}/bias"]
+            beta = h @ W[f"{an}/kernel"] + W[f"{an}/bias"]
+            mods[site] = (gamma, beta)
+        return mods
+
+    def _film(self, hn, gamma, beta, s2d: bool):
+        if s2d:
+            gamma = S.tile_channel_params(gamma)
+            beta = S.tile_channel_params(beta)
+        return jax.nn.relu(hn * gamma[:, None, None, :] + beta[:, None, None, :])
+
+    def _block(self, W, x_in, site, cin_name, cout_name, mods, s2d: bool):
+        """conv_in -> FiLM site -> conv_out. s2d: x_in is SHIFTED s2d;
+        returns UNSHIFTED s2d. plain: pixel domain in/out."""
+        dt = self.dtype
+        gamma, beta = mods[site]
+        if s2d:
+            h0 = jax.nn.relu(S.conv2x2_s2d(x_in, W[f"{cin_name}/kernel"].astype(dt),
+                                           W[f"{cin_name}/bias"].astype(dt)))
+            hn = S.conv2x2_s2d(S.u2s(h0), W[f"noise_{site}/kernel"].astype(dt),
+                               W[f"noise_{site}/bias"].astype(dt))
+            s = h0 + self._film(hn, gamma.astype(dt), beta.astype(dt), True)
+            h1 = jax.nn.relu(S.conv2x2_s2d(S.u2s(s), W[f"{cout_name}/kernel"].astype(dt),
+                                           W[f"{cout_name}/bias"].astype(dt)))
+        else:
+            h0 = jax.nn.relu(_conv(x_in, W[f"{cin_name}/kernel"].astype(dt),
+                                   W[f"{cin_name}/bias"].astype(dt)))
+            hn = _conv(h0, W[f"noise_{site}/kernel"].astype(dt),
+                       W[f"noise_{site}/bias"].astype(dt))
+            s = h0 + self._film(hn, gamma.astype(dt), beta.astype(dt), False)
+            h1 = jax.nn.relu(_conv(s, W[f"{cout_name}/kernel"].astype(dt),
+                                   W[f"{cout_name}/bias"].astype(dt)))
+        return h1
+
+    def _forward(self, W, x, z):
+        dt = self.dtype
+        mods = self._site_mods(W, z.astype(jnp.float32))
+        x = x.astype(dt)
+
+        skips = {}
+        h = x
+        for site, cin, cout, level in self.enc_spec:
+            s2d = level in self.s2d_levels
+            x_in = S.s2d_shifted(h) if s2d else h
+            h1 = self._block(W, x_in, site, cin, cout, mods, s2d)
+            skips[level] = h1  # s2d-unshifted or pixel, per level mode
+            if s2d:
+                h = S.pool2x2_s2d(h1)  # emits pixel domain
+            else:
+                from flax import linen as nn
+
+                h = nn.max_pool(h1, (2, 2), (2, 2))
+
+        # bottleneck (always pixel domain; 128ch tiles the MXU fine)
+        site, cin, cout, _ = self.mid_spec
+        h = self._block(W, h, site, cin, cout, mods, False)
+
+        for site, cin, cout, level, deconv in self.dec_spec:
+            s2d = level in self.s2d_levels
+            k = W[f"{deconv}/kernel"].astype(dt)
+            b = W[f"{deconv}/bias"].astype(dt)
+            up = jax.nn.relu(_deconv_matmul(h, k, b))  # unshifted s2d @ level
+            if s2d:
+                cat = S.concat_s2d(up, skips[level])
+                x_in = S.u2s(cat)
+                h = self._block(W, x_in, site, cin, cout, mods, True)
+            else:
+                up_px = S.d2s(up)
+                cat = jnp.concatenate([up_px, skips[level]], axis=-1)
+                h = self._block(W, cat, site, cin, cout, mods, False)
+            if s2d and level > 1:
+                h = S.d2s(h)  # next deconv consumes the pixel domain
+
+        # head
+        kseg = W["gen_segmentation/kernel"].astype(jnp.float32)
+        bseg = W["gen_segmentation/bias"].astype(jnp.float32)
+        h = h.astype(jnp.float32)
+        logits = lax.conv_general_dilated(
+            h, kseg, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + bseg
+        if 1 in self.s2d_levels:
+            logits = S.d2s(logits)
+        if self.cfg.n_out == 1:
+            return jnp.tanh(logits)
+        return jax.nn.softmax(logits, axis=-1)
+
+    def __call__(self, x, z):
+        return self._jit_forward(self.weights, x, z)
