@@ -1,0 +1,162 @@
+"""Pallas TPU kernel: fused space-to-depth 3x3 convolution.
+
+The generator's low-channel 3x3 convs (32-96 channels) waste the 128-lane
+MXU (~21-43 TFLOPS measured vs ~128 at 128 channels). XLA-level
+space-to-depth fixes the matmul shapes but pays multi-millisecond HBM
+relayouts between convs (u2s measured at 5-8 ms/step). This kernel does the
+relayout *in VMEM*, where it is a handful of register shuffles:
+
+- Activations live in HBM in **padded unshifted s2d layout**
+  ``(B, N+2, N+2, 4C)``: block (i, j) holds pixels (2i+p-2, 2j+q-2) of the
+  zero-padded image; interior blocks are [1..N], the border ring is zeros
+  (which reproduces SAME-padding semantics for free).
+- One grid step processes one batch element; the whole padded image fits
+  VMEM (<= ~5 MB at every generator level). Row strips are processed in a
+  static loop; each strip builds the four shifted-tap operands
+  ``U[A][B]`` by lane-group slicing (the in-VMEM ``u2s``) and accumulates
+  ``y += U[A][B] @ W4[A][B]`` on the MXU — 4 matmuls with K = N = 4C.
+- Epilogues fuse into the same pass over VMEM:
+    * ``mode='relu'``:  y = relu(y + b)        (ConvBNRelu, BN pre-folded)
+    * ``mode='film'``:  y = x + relu((y + b) * gamma + beta)
+      — the entire FiLM site of the generator (models/film.py) in ONE
+      kernel: conv, modulation and residual add.
+    * ``mode='none'``:  y = y + b
+
+W4 is the transformed kernel from ops/s2d_conv.conv3x3_to_s2d_kernel
+(2, 2, 4C, 4Co); correctness is pinned against the plain XLA conv by
+tests/test_conv_pallas.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def pad_s2d(y: jnp.ndarray) -> jnp.ndarray:
+    """Unshifted s2d (B, N, N, 4C) -> padded layout (B, N+2, N+2, 4C)."""
+    return jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+def unpad_s2d(y: jnp.ndarray) -> jnp.ndarray:
+    return y[:, 1:-1, 1:-1, :]
+
+
+def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
+            n: int, c4: int, co4: int, strip: int, mode: str):
+    """One batch element. x_ref (1, N+2, N+2, 4C); out_ref same spatial with
+    4Co channels; w_ref (4, 4C, 4Co); b/gamma/beta (1, 4Co|4C)."""
+    c = c4 // 4
+    x = x_ref[0]  # (P, P, 4C)
+    out_ref[...] = jnp.zeros_like(out_ref)  # border ring stays zero
+
+    bias = b_ref[0]
+    if mode == "film":
+        gamma = gamma_ref[0, 0]
+        beta = beta_ref[0, 0]
+
+    n_strips = n // strip
+    for s_i in range(n_strips):
+        j0 = s_i * strip  # first interior output row (0-based interior)
+
+        def load_tap(A, B):
+            """Stage U[A][B] into scratch: (strip, N, 4C) with channel group
+            (p, q) sourced from x[j0+A+p, k+B+q, group(1-p, 1-q)]. Written
+            via 4 stores (Mosaic relayouts on store; lane-dim concat of
+            offset-mismatched slices is unsupported)."""
+            for p in range(2):
+                for q in range(2):
+                    src = (1 - p) * 2 + (1 - q)
+                    dst = p * 2 + q
+                    u_scratch[:, :, dst * c : (dst + 1) * c] = x[
+                        j0 + A + p : j0 + A + p + strip,
+                        B + q : B + q + n,
+                        src * c : (src + 1) * c,
+                    ]
+
+        acc = jnp.zeros((strip * n, co4), jnp.float32)
+        for A in range(2):
+            for B in range(2):
+                load_tap(A, B)
+                u = u_scratch[...].reshape(strip * n, c4)
+                acc = acc + jnp.dot(
+                    u, w_ref[A * 2 + B], preferred_element_type=jnp.float32
+                )
+
+        y = acc + bias[None, :]
+        if mode == "relu":
+            y = jnp.maximum(y, 0.0)
+        elif mode == "film":
+            trunk = x[j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :].reshape(
+                strip * n, c4
+            ).astype(jnp.float32)
+            y = trunk + jnp.maximum(y * gamma[None, :] + beta[None, :], 0.0)
+        y = y.reshape(strip, n, co4).astype(out_ref.dtype)
+        out_ref[0, j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :] = y
+
+
+def conv3x3_s2d_fused(
+    x_padded: jnp.ndarray,  # (B, N+2, N+2, 4C)
+    w4: jnp.ndarray,  # (2, 2, 4C, 4Co)
+    bias4: jnp.ndarray,  # (4Co,)
+    gamma4: jnp.ndarray | None = None,  # (B, 4C) — film mode
+    beta4: jnp.ndarray | None = None,
+    mode: str = "relu",
+    strip: int = 8,
+) -> jnp.ndarray:
+    """Fused s2d conv; returns padded unshifted s2d (B, N+2, N+2, 4Co)."""
+    b, p_dim, _, c4 = x_padded.shape
+    n = p_dim - 2
+    co4 = w4.shape[-1]
+    if mode == "film" and c4 != co4:
+        raise ValueError("film mode requires C_out == C_in (residual add)")
+    while n % strip != 0:
+        strip //= 2
+
+    dt = x_padded.dtype
+    w_flat = w4.reshape(4, c4, co4).astype(dt)
+    bias = bias4.reshape(1, co4).astype(jnp.float32)
+    if mode == "film":
+        gamma = gamma4.astype(jnp.float32).reshape(b, 1, c4)
+        beta = beta4.astype(jnp.float32).reshape(b, 1, c4)
+    else:
+        gamma = jnp.zeros((b, 1, c4), jnp.float32)
+        beta = jnp.zeros((b, 1, c4), jnp.float32)
+
+    kernel = partial(_kernel, n=n, c4=c4, co4=co4, strip=strip, mode=mode)
+    flops = 2 * b * n * n * 4 * c4 * co4
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, p_dim, p_dim, co4), dt),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, p_dim, p_dim, c4), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec((1, 1, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p_dim, p_dim, co4), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((strip, n, c4), dt)],
+        # Whole-image blocks + Pallas double-buffering exceed the default
+        # 16M scoped-vmem budget at level 1; the physical budget is larger.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x_padded.size * 2 + b * p_dim * p_dim * co4 * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x_padded, w_flat, bias, gamma, beta)

@@ -56,10 +56,16 @@ class FastGenerator:
     """Precomputes transformed weights; exposes a jittable ``forward``."""
 
     def __init__(self, cfg: ModelConfig, variables: dict,
-                 s2d_levels: tuple[int, ...] = (1, 2),
+                 s2d_levels: tuple[int, ...] = (),
+                 pallas_levels: tuple[int, ...] = (1,),
                  compute_dtype=jnp.bfloat16):
         self.cfg = cfg
         self.s2d_levels = set(s2d_levels)
+        # Levels run through the fused Pallas s2d-conv kernel
+        # (ops/conv_s2d_pallas.py). Only worthwhile where XLA's conv starves
+        # the MXU (the 32-channel full-resolution level); overrides
+        # s2d_levels for those levels.
+        self.pallas_levels = set(pallas_levels) - self.s2d_levels
         self.dtype = compute_dtype
         folded = fold_batch_norms(variables)
         p = jax.tree.map(np.asarray, folded["params"])
@@ -94,7 +100,7 @@ class FastGenerator:
                 k, b = conv_leaf(block, lname.replace("conv2d_", "block_"), lname)
             else:
                 k, b = conv_leaf(block, lname)
-            if level in self.s2d_levels:
+            if level in self.s2d_levels or level in self.pallas_levels:
                 k4, b4 = S.conv3x3_to_s2d_kernel(k, b)
                 put(f"{tag}/kernel", k4)
                 put(f"{tag}/bias", b4)
@@ -127,7 +133,7 @@ class FastGenerator:
             put(f"{deconv}/bias", d["bias"])
 
         seg = p["gen_segmentation"]
-        if 1 in self.s2d_levels:
+        if 1 in self.s2d_levels or 1 in self.pallas_levels:
             k4, b4 = S.conv1x1_to_s2d_kernel(seg["kernel"], seg["bias"])
             put("gen_segmentation/kernel", k4)
             put("gen_segmentation/bias", b4)
@@ -161,6 +167,28 @@ class FastGenerator:
             beta = S.tile_channel_params(beta)
         return jax.nn.relu(hn * gamma[:, None, None, :] + beta[:, None, None, :])
 
+    def _block_pallas(self, W, x_padded, site, cin_name, cout_name, mods):
+        """Site chain through the fused Pallas kernel: all three convs +
+        bias/relu/FiLM/residual epilogues, activations in padded s2d."""
+        from .conv_s2d_pallas import conv3x3_s2d_fused
+
+        dt = self.dtype
+        gamma, beta = mods[site]
+        h0 = conv3x3_s2d_fused(
+            x_padded, W[f"{cin_name}/kernel"].astype(dt), W[f"{cin_name}/bias"],
+            mode="relu",
+        )
+        site_out = conv3x3_s2d_fused(
+            h0, W[f"noise_{site}/kernel"].astype(dt), W[f"noise_{site}/bias"],
+            S.tile_channel_params(gamma), S.tile_channel_params(beta),
+            mode="film",
+        )
+        h1 = conv3x3_s2d_fused(
+            site_out, W[f"{cout_name}/kernel"].astype(dt), W[f"{cout_name}/bias"],
+            mode="relu",
+        )
+        return h1
+
     def _block(self, W, x_in, site, cin_name, cout_name, mods, s2d: bool):
         """conv_in -> FiLM site -> conv_out. s2d: x_in is SHIFTED s2d;
         returns UNSHIFTED s2d. plain: pixel domain in/out."""
@@ -189,10 +217,18 @@ class FastGenerator:
         mods = self._site_mods(W, z.astype(jnp.float32))
         x = x.astype(dt)
 
+        from .conv_s2d_pallas import pad_s2d, unpad_s2d
+
         skips = {}
         h = x
         for site, cin, cout, level in self.enc_spec:
             s2d = level in self.s2d_levels
+            if level in self.pallas_levels:
+                x_in = pad_s2d(S.s2d_unshifted(h))
+                h1 = self._block_pallas(W, x_in, site, cin, cout, mods)
+                skips[level] = h1  # padded s2d
+                h = S.pool2x2_s2d(unpad_s2d(h1))  # pixel domain
+                continue
             x_in = S.s2d_shifted(h) if s2d else h
             h1 = self._block(W, x_in, site, cin, cout, mods, s2d)
             skips[level] = h1  # s2d-unshifted or pixel, per level mode
@@ -212,6 +248,12 @@ class FastGenerator:
             k = W[f"{deconv}/kernel"].astype(dt)
             b = W[f"{deconv}/bias"].astype(dt)
             up = jax.nn.relu(_deconv_matmul(h, k, b))  # unshifted s2d @ level
+            if level in self.pallas_levels:
+                cat = S.concat_s2d(pad_s2d(up), skips[level])  # both padded
+                h = self._block_pallas(W, cat, site, cin, cout, mods)
+                if level > 1:
+                    h = S.d2s(unpad_s2d(h))
+                continue
             if s2d:
                 cat = S.concat_s2d(up, skips[level])
                 x_in = S.u2s(cat)
@@ -230,7 +272,9 @@ class FastGenerator:
         logits = lax.conv_general_dilated(
             h, kseg, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
         ) + bseg
-        if 1 in self.s2d_levels:
+        if 1 in self.pallas_levels:
+            logits = S.d2s(unpad_s2d(logits))
+        elif 1 in self.s2d_levels:
             logits = S.d2s(logits)
         if self.cfg.n_out == 1:
             return jnp.tanh(logits)

@@ -39,20 +39,23 @@ from jax import lax
 
 def s2d_shifted(x: jnp.ndarray) -> jnp.ndarray:
     """(B, 2N, 2N, C) -> shifted s2d (B, N+1, N+1, 4C). Pads 1 pixel on all
-    sides so block b covers rows {2b-1, 2b}."""
+    sides so block b covers rows {2b-1, 2b}.
+
+    Implemented as 4 stride-2 slices + channel concat — on TPU this lowers
+    far better than the reshape/transpose formulation (the lane dimension
+    is only ever concatenated, never permuted).
+    """
     b, h, w, c = x.shape
     n = h // 2
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    xp = xp.reshape(b, n + 1, 2, n + 1, 2, c)
-    return xp.transpose(0, 1, 3, 2, 4, 5).reshape(b, n + 1, n + 1, 4 * c)
+    parts = [xp[:, p::2, q::2, :] for p in range(2) for q in range(2)]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def s2d_unshifted(x: jnp.ndarray) -> jnp.ndarray:
     """(B, 2N, 2N, C) -> unshifted s2d (B, N, N, 4C)."""
-    b, h, w, c = x.shape
-    n = h // 2
-    xr = x.reshape(b, n, 2, n, 2, c)
-    return xr.transpose(0, 1, 3, 2, 4, 5).reshape(b, n, n, 4 * c)
+    parts = [x[:, p::2, q::2, :] for p in range(2) for q in range(2)]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def d2s(y: jnp.ndarray) -> jnp.ndarray:
@@ -71,19 +74,18 @@ def u2s(y: jnp.ndarray) -> jnp.ndarray:
     """
     b, n, _, c4 = y.shape
     c = c4 // 4
-    yr = y.reshape(b, n, n, 2, 2, c)
-    # Row direction: shifted block b sub-row p=0 <- unshifted block b-1
-    # sub-row 1; p=1 <- unshifted block b sub-row 0.
-    zeros_row = jnp.zeros((b, 1, n, 2, c), yr.dtype)
-    top = jnp.concatenate([zeros_row, yr[:, :, :, 1]], axis=1)     # (B,N+1,N,2,C)
-    bot = jnp.concatenate([yr[:, :, :, 0], zeros_row], axis=1)
-    rows = jnp.stack([top, bot], axis=3)                            # (B,N+1,N,2,2,C)
-    # Column direction, same shuffle on axis 2 / sub-col axis 4.
-    zeros_col = jnp.zeros((b, n + 1, 1, 2, c), rows.dtype)
-    left = jnp.concatenate([zeros_col, rows[:, :, :, :, 1]], axis=2)
-    right = jnp.concatenate([rows[:, :, :, :, 0], zeros_col], axis=2)
-    out = jnp.stack([left, right], axis=4)                          # (B,N+1,N+1,2,2,C)
-    return out.reshape(b, n + 1, n + 1, 4 * c)
+    # Shifted sub-pixel (p, q) at block b comes from unshifted sub-pixel
+    # (1-p, 1-q) at block b-1+p (per axis). Lane dim is only sliced in
+    # whole channel groups and re-concatenated — TPU-friendly.
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    parts = []
+    for p in range(2):
+        for q in range(2):
+            src = (1 - p) * 2 + (1 - q)
+            parts.append(
+                yp[:, p : p + n + 1, q : q + n + 1, src * c : (src + 1) * c]
+            )
+    return jnp.concatenate(parts, axis=-1)
 
 
 def pool2x2_s2d(y: jnp.ndarray) -> jnp.ndarray:

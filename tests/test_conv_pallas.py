@@ -1,0 +1,100 @@
+"""Fused Pallas s2d-conv kernel vs plain XLA conv (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from depgan_tpu.ops import s2d_conv as S
+from depgan_tpu.ops.conv_s2d_pallas import conv3x3_s2d_fused, pad_s2d, unpad_s2d
+
+
+def plain_conv(x, w, b):
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y + b
+
+
+def to_padded_s2d(x):
+    return pad_s2d(S.s2d_unshifted(x))
+
+
+def from_padded_s2d(y):
+    return S.d2s(unpad_s2d(y))
+
+
+@pytest.mark.parametrize("ci,co,hw", [(8, 8, 16), (8, 16, 16), (4, 4, 32)])
+def test_relu_mode_matches_xla(rng, ci, co, hw):
+    x = jnp.asarray(rng.normal(size=(2, hw, hw, ci)).astype(np.float32))
+    w = rng.normal(size=(3, 3, ci, co)).astype(np.float32) * 0.2
+    b = rng.normal(size=(co,)).astype(np.float32)
+    ref = jax.nn.relu(plain_conv(x, jnp.asarray(w), jnp.asarray(b)))
+
+    w4, b4 = S.conv3x3_to_s2d_kernel(w, b)
+    y = conv3x3_s2d_fused(to_padded_s2d(x), jnp.asarray(w4), jnp.asarray(b4),
+                          mode="relu")
+    np.testing.assert_allclose(np.asarray(from_padded_s2d(y)), np.asarray(ref),
+                               atol=1e-4)
+
+
+def test_none_mode(rng):
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 8)).astype(np.float32))
+    w = rng.normal(size=(3, 3, 8, 8)).astype(np.float32) * 0.2
+    b = rng.normal(size=(8,)).astype(np.float32)
+    ref = plain_conv(x, jnp.asarray(w), jnp.asarray(b))
+    w4, b4 = S.conv3x3_to_s2d_kernel(w, b)
+    y = conv3x3_s2d_fused(to_padded_s2d(x), jnp.asarray(w4), jnp.asarray(b4),
+                          mode="none")
+    np.testing.assert_allclose(np.asarray(from_padded_s2d(y)), np.asarray(ref),
+                               atol=1e-4)
+
+
+def test_film_mode_matches_site_semantics(rng):
+    """mode='film' must equal: trunk + relu(conv(trunk)*gamma + beta)
+    (the generator's full FiLM site, reference :401-407)."""
+    b_sz, hw, c = 2, 16, 8
+    x = jnp.asarray(rng.normal(size=(b_sz, hw, hw, c)).astype(np.float32))
+    w = rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.2
+    bias = rng.normal(size=(c,)).astype(np.float32)
+    gamma = rng.normal(size=(b_sz, c)).astype(np.float32)
+    beta = rng.normal(size=(b_sz, c)).astype(np.float32)
+
+    conv = plain_conv(x, jnp.asarray(w), jnp.asarray(bias))
+    ref = x + jax.nn.relu(conv * gamma[:, None, None, :] + beta[:, None, None, :])
+
+    w4, b4 = S.conv3x3_to_s2d_kernel(w, bias)
+    g4 = jnp.asarray(np.tile(gamma, (1, 4)))
+    be4 = jnp.asarray(np.tile(beta, (1, 4)))
+    y = conv3x3_s2d_fused(to_padded_s2d(x), jnp.asarray(w4), jnp.asarray(b4),
+                          g4, be4, mode="film")
+    np.testing.assert_allclose(np.asarray(from_padded_s2d(y)), np.asarray(ref),
+                               atol=1e-4)
+
+
+def test_border_ring_is_zero(rng):
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 4)).astype(np.float32))
+    w = rng.normal(size=(3, 3, 4, 4)).astype(np.float32)
+    b = rng.normal(size=(4,)).astype(np.float32)
+    w4, b4 = S.conv3x3_to_s2d_kernel(w, b)
+    y = conv3x3_s2d_fused(to_padded_s2d(x), jnp.asarray(w4), jnp.asarray(b4))
+    y = np.asarray(y)
+    assert np.all(y[:, 0] == 0) and np.all(y[:, -1] == 0)
+    assert np.all(y[:, :, 0] == 0) and np.all(y[:, :, -1] == 0)
+
+
+def test_chained_convs(rng):
+    """Two fused convs back-to-back with no relayout in between."""
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 8)).astype(np.float32))
+    w1 = rng.normal(size=(3, 3, 8, 8)).astype(np.float32) * 0.2
+    w2 = rng.normal(size=(3, 3, 8, 8)).astype(np.float32) * 0.2
+    b0 = np.zeros(8, np.float32)
+    ref = jax.nn.relu(plain_conv(jax.nn.relu(plain_conv(x, jnp.asarray(w1), 0.0)),
+                                 jnp.asarray(w2), 0.0))
+    w14, _ = S.conv3x3_to_s2d_kernel(w1)
+    w24, _ = S.conv3x3_to_s2d_kernel(w2)
+    h = conv3x3_s2d_fused(to_padded_s2d(x), jnp.asarray(w14), jnp.asarray(np.tile(b0, 4)))
+    y = conv3x3_s2d_fused(h, jnp.asarray(w24), jnp.asarray(np.tile(b0, 4)))
+    np.testing.assert_allclose(np.asarray(from_padded_s2d(y)), np.asarray(ref),
+                               atol=1e-4)
