@@ -51,6 +51,19 @@ def _find_lib() -> Path | None:
     for c in candidates:
         if c and c.is_file():
             return c
+    # Build on demand (g++ + zlib, a couple of seconds).
+    src_dir = Path(__file__).resolve().parents[2] / "native"
+    if (src_dir / "Makefile").is_file():
+        import subprocess
+
+        try:
+            subprocess.run(["make", "-C", str(src_dir)], capture_output=True,
+                           timeout=120, check=True)
+        except Exception:
+            return None
+        lib = src_dir / "libdepgan_native.so"
+        if lib.is_file():
+            return lib
     return None
 
 
