@@ -1,13 +1,15 @@
 """Benchmark: generator inference throughput (256x256 slices/sec/chip).
 
 Measures the flagship DEP-GAN generator forward (the reference's hot
-inference path, `DEP-GAN_testing_4fold.py:616-628`) against the
-BASELINE.json north-star target of 5,000 slices/sec/chip.
+inference path, `DEP-GAN_testing_4fold.py:616-628`) through the optimised
+FastGenerator (folded BatchNorm, bfloat16 trunk, matmul deconvs —
+ops/fast_gen.py) against the BASELINE.json north-star target of 5,000
+slices/sec/chip.
 
 Methodology: the iteration loop runs ON DEVICE via lax.scan with a
-data-dependency chain (each step consumes the previous carry), so remote
-dispatch latency cannot fake throughput; per-iteration time is the
-difference of two scan lengths, cancelling the single-dispatch overhead.
+data-dependency chain and the result is fetched to host (the only operation
+the remote runtime genuinely blocks on), so dispatch latency cannot fake
+throughput. Single-dispatch overhead (~20 ms) is amortised over the scan.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -18,6 +20,8 @@ import json
 import time
 
 BASELINE_SLICES_PER_SEC = 5000.0  # BASELINE.json north_star target
+N_SCAN = 12
+BATCH = 64
 
 
 def main() -> None:
@@ -26,46 +30,38 @@ def main() -> None:
 
     from depgan_tpu.config import ModelConfig
     from depgan_tpu.models import init_generator
-
     from depgan_tpu.ops.fast_gen import FastGenerator
 
     cfg = ModelConfig(
         image_size=256, first_fm=32, n_input_channels=1,
         compute_dtype="bfloat16",
     )
-    model, variables = init_generator(cfg, jax.random.key(0))
-    fast = FastGenerator(cfg, variables)  # folded BN + s2d convs, bf16
+    _, variables = init_generator(cfg, jax.random.key(0))
+    fast = FastGenerator(cfg, variables, s2d_levels=(), pallas_levels=())
 
-    batch = 64
-
+    @jax.jit
     def forward_scan(weights, x, zs):
         def body(carry, z):
             y = fast._forward(weights, carry, z)
-            # tanh keeps the chain algebraically irreducible; the final
-            # scalar is fetched to host, which is the only operation the
-            # remote runtime genuinely blocks on.
+            # tanh keeps the chain algebraically irreducible and forces
+            # sequential execution of the scan steps.
             return jnp.tanh(carry + 1e-12 * y), jnp.sum(y)
 
         _, sums = jax.lax.scan(body, x, zs)
         return jnp.sum(sums)
 
-    variables = fast.weights
+    x = jax.random.uniform(jax.random.key(0), (BATCH, 256, 256, 1))
+    zs = jax.random.normal(jax.random.key(1), (N_SCAN, BATCH, 32, 1))
+    float(forward_scan(fast.weights, x, zs))  # compile + first run
 
-    fns = {n: jax.jit(forward_scan) for n in (4, 24)}
-    x = jax.random.uniform(jax.random.key(0), (batch, 256, 256, 1))
-    times = {}
-    for n, fn in fns.items():
-        zs = jax.random.normal(jax.random.key(1), (n, batch, 32, 1))
-        float(fn(variables, x, zs))  # compile + execute
-        reps = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(fn(variables, x, zs))
-            reps.append(time.perf_counter() - t0)
-        times[n] = min(reps)
+    reps = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        float(forward_scan(fast.weights, x, zs))
+        reps.append(time.perf_counter() - t0)
+    dt = min(reps)
 
-    per_iter = (times[24] - times[4]) / 20.0
-    slices_per_sec = batch / per_iter
+    slices_per_sec = N_SCAN * BATCH / dt
     print(
         json.dumps(
             {

@@ -57,7 +57,7 @@ class FastGenerator:
 
     def __init__(self, cfg: ModelConfig, variables: dict,
                  s2d_levels: tuple[int, ...] = (),
-                 pallas_levels: tuple[int, ...] = (1,),
+                 pallas_levels: tuple[int, ...] = (),
                  compute_dtype=jnp.bfloat16):
         self.cfg = cfg
         self.s2d_levels = set(s2d_levels)

@@ -27,11 +27,16 @@ def _randomized(cfg, seed=0):
     return model, variables
 
 
-@pytest.mark.parametrize("s2d_levels", [(), (1,), (1, 2), (1, 2, 3)])
-def test_fast_matches_reference_tanh(s2d_levels):
+@pytest.mark.parametrize(
+    "s2d_levels,pallas_levels",
+    [((), ()), ((1,), ()), ((1, 2), ()), ((1, 2, 3), ()),
+     ((), (1,)), ((), (1, 2))],
+)
+def test_fast_matches_reference_tanh(s2d_levels, pallas_levels):
     cfg = ModelConfig(image_size=32, first_fm=8)
     model, variables = _randomized(cfg)
     fast = FastGenerator(cfg, variables, s2d_levels=s2d_levels,
+                         pallas_levels=pallas_levels,
                          compute_dtype=jnp.float32)
     x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 1))
     z = jax.random.normal(jax.random.key(2), (2, 32, 1))
