@@ -20,7 +20,7 @@ import json
 import time
 
 BASELINE_SLICES_PER_SEC = 5000.0  # BASELINE.json north_star target
-N_SCAN = 12
+N_SCAN = 8
 BATCH = 64
 
 
@@ -31,6 +31,11 @@ def main() -> None:
     from depgan_tpu.config import ModelConfig
     from depgan_tpu.models import init_generator
     from depgan_tpu.ops.fast_gen import FastGenerator
+
+    # First jit in a fresh process absorbs the backend/session init (can be
+    # minutes through a remote tunnel); do it on a trivial graph so the real
+    # compile below is fast.
+    float(jax.jit(lambda v: (v @ v).sum())(jnp.ones((128, 128))))
 
     cfg = ModelConfig(
         image_size=256, first_fm=32, n_input_channels=1,
