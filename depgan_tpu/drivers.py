@@ -43,8 +43,13 @@ def run_gan_training(
     model_dir: str = "models",
     mesh=None,
     use_tensorboard: bool = True,
+    resume: bool = True,
 ):
-    """Train the two-critic WGAN-GP on each fold (reference :506-894)."""
+    """Train the two-critic WGAN-GP on each fold (reference :506-894).
+
+    ``resume=True`` restores the latest orbax checkpoint (full G + critics +
+    Adam + counters) if one exists — the reference has no resume path at
+    all (SURVEY.md §5)."""
     trainer = GanTrainer(model_cfg, train_cfg, data_cfg, mesh=mesh)
     counters = Counters()
     Path(model_dir).mkdir(parents=True, exist_ok=True)
@@ -66,6 +71,12 @@ def run_gan_training(
         )
         state = trainer.init_state(jax.random.key(train_cfg.seed + fold))
         ckpt = CheckpointManager(Path(model_dir) / f"{run_name}_fold{fold}")
+        if resume and ckpt.latest_step() is not None:
+            state, counters, _ = ckpt.restore(state)
+            print(f"resumed fold {fold} at gen_iteration {counters.gen_iterations}")
+        # Initial validation images (reference :772-773).
+        logger.log_images("val_img_Y1_IM", x_val[:8, ..., 0], counters.gen_iterations)
+        logger.log_images("val_img_Y2_IM", y_val[:8], counters.gen_iterations)
 
         h5_path = Path(model_dir) / f"netG_{run_name}_fold{fold}.h5"
 

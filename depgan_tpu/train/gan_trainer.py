@@ -386,6 +386,20 @@ class GanTrainer:
                         f"[{gi}] errD {y2r[-1] - y2f[-1]:+.4f} "
                         f"errG {gen_aux['errG']:+.4f} ({time.time() - t0:.1f}s)"
                     )
+                    # Validation images every image_log_every gen iterations
+                    # (reference :858-865: generated DEM + fake follow-up).
+                    if logger is not None and gi % cfg.image_log_every == 0:
+                        dem = self.gen.apply(
+                            {"params": state.g_params, "batch_stats": state.g_stats},
+                            xv, fixed_noise, train=False,
+                        )
+                        fake = xv[..., :1] + dem
+                        logger.log_images(
+                            f"attributed_img_step{gi}", np.asarray(dem[:8]), gi
+                        )
+                        logger.log_images(
+                            f"fake_img_step{gi}", np.asarray(fake[:8]), gi
+                        )
 
                 counters = counters.replace(gen_iterations=gi + 1)
                 if checkpoint_fn is not None and (gi + 1) % cfg.checkpoint_every == 0:
