@@ -68,26 +68,25 @@ def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
     for s_i in range(n_strips):
         j0 = s_i * strip  # first interior output row (0-based interior)
 
-        def load_tap(A, B):
-            """Stage U[A][B] into scratch: (strip, N, 4C) with channel group
-            (p, q) sourced from x[j0+A+p, k+B+q, group(1-p, 1-q)]. Written
-            via 4 stores (Mosaic relayouts on store; lane-dim concat of
-            offset-mismatched slices is unsupported)."""
-            for p in range(2):
-                for q in range(2):
-                    src = (1 - p) * 2 + (1 - q)
-                    dst = p * 2 + q
-                    u_scratch[:, :, dst * c : (dst + 1) * c] = x[
-                        j0 + A + p : j0 + A + p + strip,
-                        B + q : B + q + n,
-                        src * c : (src + 1) * c,
-                    ]
+        # Stage the strip's shifted-s2d representation ONCE — the in-VMEM
+        # u2s: su[a, b, group(p, q)] = x[j0+a+p, b+q, group(1-p, 1-q)].
+        # 4 stores (Mosaic relayouts on store; lane-dim concat of
+        # offset-mismatched slices is unsupported); all 4 conv taps are then
+        # aligned sub-reads of this one buffer.
+        for p in range(2):
+            for q in range(2):
+                src = (1 - p) * 2 + (1 - q)
+                dst = p * 2 + q
+                u_scratch[:, :, dst * c : (dst + 1) * c] = x[
+                    j0 + p : j0 + p + strip + 1,
+                    q : q + n + 1,
+                    src * c : (src + 1) * c,
+                ]
 
         acc = jnp.zeros((strip * n, co4), jnp.float32)
         for A in range(2):
             for B in range(2):
-                load_tap(A, B)
-                u = u_scratch[...].reshape(strip * n, c4)
+                u = u_scratch[A : A + strip, B : B + n, :].reshape(strip * n, c4)
                 acc = acc + jnp.dot(
                     u, w_ref[A * 2 + B], preferred_element_type=jnp.float32
                 )
@@ -148,7 +147,7 @@ def conv3x3_s2d_fused(
         ],
         out_specs=pl.BlockSpec((1, p_dim, p_dim, co4), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((strip, n, c4), dt)],
+        scratch_shapes=[pltpu.VMEM((strip + 1, n + 1, c4), dt)],
         # Whole-image blocks + Pallas double-buffering exceed the default
         # 16M scoped-vmem budget at level 1; the physical budget is larger.
         compiler_params=pltpu.CompilerParams(
