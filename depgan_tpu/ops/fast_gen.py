@@ -94,13 +94,19 @@ class FastGenerator:
                 node = node[k]
             return node["kernel"], node["bias"]
 
-        def put_conv(tag, block, lname, level):
+        # Pallas kernels want >= 128 lanes; the entry conv's input channels
+        # (1 or 2) are zero-padded per s2d group up to this many channels.
+        self.entry_pad_cin = 32
+
+        def put_conv(tag, block, lname, level, pad_cin: int | None = None):
             if block.startswith("film_"):
                 # FilmSite nests its ConvBN one level deeper (models/film.py).
                 k, b = conv_leaf(block, lname.replace("conv2d_", "block_"), lname)
             else:
                 k, b = conv_leaf(block, lname)
             if level in self.s2d_levels or level in self.pallas_levels:
+                if pad_cin is not None and k.shape[2] < pad_cin:
+                    k = np.pad(k, ((0, 0), (0, 0), (0, pad_cin - k.shape[2]), (0, 0)))
                 k4, b4 = S.conv3x3_to_s2d_kernel(k, b)
                 put(f"{tag}/kernel", k4)
                 put(f"{tag}/bias", b4)
@@ -121,7 +127,12 @@ class FastGenerator:
             ("p1", "gen_16", "gen_17", 1, "de_gen_15"),
         ]
         for site, cin, cout, level in self.enc_spec + [self.mid_spec]:
-            put_conv(cin, f"block_{cin}", f"conv2d_{cin}", level)
+            pad_cin = (
+                self.entry_pad_cin
+                if cin == "gen_0" and level in self.pallas_levels
+                else None
+            )
+            put_conv(cin, f"block_{cin}", f"conv2d_{cin}", level, pad_cin)
             put_conv(f"noise_{site}", f"film_{site}", f"conv2d_gen_noise_{site}", level)
             put_conv(cout, f"block_{cout}", f"conv2d_{cout}", level)
         for site, cin, cout, level, deconv in self.dec_spec:
@@ -224,6 +235,11 @@ class FastGenerator:
         for site, cin, cout, level in self.enc_spec:
             s2d = level in self.s2d_levels
             if level in self.pallas_levels:
+                if cin == "gen_0" and h.shape[-1] < self.entry_pad_cin:
+                    h = jnp.pad(
+                        h, ((0, 0), (0, 0), (0, 0),
+                            (0, self.entry_pad_cin - h.shape[-1]))
+                    )
                 x_in = pad_s2d(S.s2d_unshifted(h))
                 h1 = self._block_pallas(W, x_in, site, cin, cout, mods)
                 skips[level] = h1  # padded s2d
