@@ -80,9 +80,15 @@ class GanTrainer:
         self.tx_d = optax.adam(train_cfg.lr_d, b1=train_cfg.adam_b1, b2=train_cfg.adam_b2)
         self.tx_g = optax.adam(train_cfg.lr_g, b1=train_cfg.adam_b1, b2=train_cfg.adam_b2)
         # Two compiled variants: normal (Diters) and warm-up (reference :792).
-        self._steps = {
+        # _superstep_fns are the pure (un-jitted) functions — reused by the
+        # multi-fold trainer, which vmaps them over a fold axis.
+        self._superstep_fns = {
             train_cfg.d_iters: self._build_superstep(train_cfg.d_iters),
             train_cfg.warmup_d_iters: self._build_superstep(train_cfg.warmup_d_iters),
+        }
+        self._steps = {
+            d: jax.jit(fn, donate_argnums=0)
+            for d, fn in self._superstep_fns.items()
         }
         self._val_step = self._build_val_step()
 
@@ -126,7 +132,6 @@ class GanTrainer:
                 x, z, train=False,
             )
 
-        @partial(jax.jit, donate_argnums=0)
         def superstep(state, x_all, y_all, idx, valid, key):
             B = idx.shape[1]
             noise_shape = (d_iters, B, self.model_cfg.noise_size, 1)

@@ -1,0 +1,75 @@
+"""Concurrent multi-fold training on the 8-device CPU mesh (4 folds x 2 data)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from depgan_tpu.config import DataConfig, GanTrainConfig, ModelConfig
+from depgan_tpu.parallel import make_mesh
+from depgan_tpu.train.multi_fold import MultiFoldGanTrainer, unstack_state
+
+SZ = 16
+MODEL_CFG = ModelConfig(image_size=SZ, first_fm=4)
+GAN_CFG = GanTrainConfig(
+    batch_size=4, d_iters=2, warmup_d_iters=3, warmup_until=0,
+    warmup_every=10_000, k_noise=2, validate_every=10_000, checkpoint_every=100,
+)
+
+
+def fold_data(n, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 1, (n, SZ, SZ, 1)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.1, x.shape), 0, 1).astype(np.float32)
+    return x, y
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    mesh = make_mesh(n_data=2, n_fold=4)
+    return MultiFoldGanTrainer(MODEL_CFG, GAN_CFG, DataConfig(), mesh)
+
+
+class TestMultiFold:
+    def test_folds_train_independently(self, trainer):
+        states = trainer.init_states(jax.random.key(0))
+        data = [fold_data(12, seed=f) for f in range(4)]
+        states, counters = trainer.fit(states, data, n_epochs=1)
+        # 12 slices / batch 4 = 3 batches; gen_iteration 0 re-warms
+        # (0 % warmup_every == 0, reference :792), so the single warm-up
+        # superstep (D=3) consumes the whole epoch.
+        assert counters.gen_iterations == 1
+        assert counters.crit_iterations == 3
+        # Each fold's generator diverged from the others (different data +
+        # different init keys).
+        leaves = jax.tree.leaves(states.g_params)[0]
+        assert leaves.shape[0] == 4
+        g0 = unstack_state(states, 0)
+        g1 = unstack_state(states, 1)
+        a = jax.tree.leaves(g0.g_params)[0]
+        b = jax.tree.leaves(g1.g_params)[0]
+        assert float(np.max(np.abs(a - b))) > 0
+
+    def test_matches_single_fold_semantics(self, trainer):
+        """One fold in the stacked trainer must produce finite losses and
+        update all three networks, same as the single-fold superstep."""
+        states = trainer.init_states(jax.random.key(1))
+        before = jax.tree.map(np.asarray, states)
+        data = [fold_data(8, seed=10 + f) for f in range(4)]
+        states, _ = trainer.fit(states, data, n_epochs=1)
+        for attr in ("g_params", "dy2_params", "ddem_params"):
+            a = jax.tree.leaves(getattr(before, attr))[0]
+            b = np.asarray(jax.tree.leaves(getattr(states, attr))[0])
+            assert np.max(np.abs(a - b)) > 0, attr
+
+    def test_truncates_to_smallest_fold(self, trainer):
+        data = [fold_data(10 + 2 * f, seed=f) for f in range(4)]
+        x_all, y_all, n = trainer.stack_fold_data(data)
+        assert n == 10
+        assert x_all.shape == (4, 10, SZ, SZ, 1)
+
+    def test_fold_sharding_layout(self, trainer):
+        states = trainer.init_states(jax.random.key(2))
+        leaf = jax.tree.leaves(states.g_params)[0]
+        # Stacked leading axis is distributed over the fold axis.
+        assert len(leaf.sharding.device_set) >= 4
