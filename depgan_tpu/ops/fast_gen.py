@@ -66,6 +66,9 @@ class FastGenerator:
         # the MXU (the 32-channel full-resolution level); overrides
         # s2d_levels for those levels.
         self.pallas_levels = set(pallas_levels) - self.s2d_levels
+        # Perf-bisection switches: restrict the Pallas path to one side.
+        self.pallas_encoder = True
+        self.pallas_decoder = True
         self.dtype = compute_dtype
         folded = fold_batch_norms(variables)
         p = jax.tree.map(np.asarray, folded["params"])
@@ -230,11 +233,12 @@ class FastGenerator:
 
         from .conv_s2d_pallas import pad_s2d, unpad_s2d
 
-        skips = {}
+        skips = {}  # level -> (tensor, layout) with layout in
+        # {'pixel', 's2d' (unshifted), 'padded' (padded s2d)}
         h = x
         for site, cin, cout, level in self.enc_spec:
             s2d = level in self.s2d_levels
-            if level in self.pallas_levels:
+            if level in self.pallas_levels and self.pallas_encoder:
                 if cin == "gen_0" and h.shape[-1] < self.entry_pad_cin:
                     h = jnp.pad(
                         h, ((0, 0), (0, 0), (0, 0),
@@ -242,12 +246,12 @@ class FastGenerator:
                     )
                 x_in = pad_s2d(S.s2d_unshifted(h))
                 h1 = self._block_pallas(W, x_in, site, cin, cout, mods)
-                skips[level] = h1  # padded s2d
+                skips[level] = (h1, "padded")
                 h = S.pool2x2_s2d(unpad_s2d(h1))  # pixel domain
                 continue
             x_in = S.s2d_shifted(h) if s2d else h
             h1 = self._block(W, x_in, site, cin, cout, mods, s2d)
-            skips[level] = h1  # s2d-unshifted or pixel, per level mode
+            skips[level] = (h1, "s2d" if s2d else "pixel")
             if s2d:
                 h = S.pool2x2_s2d(h1)  # emits pixel domain
             else:
@@ -259,24 +263,39 @@ class FastGenerator:
         site, cin, cout, _ = self.mid_spec
         h = self._block(W, h, site, cin, cout, mods, False)
 
+        def skip_as(level, want):
+            """Skip tensor converted to the requested layout."""
+            t, kind = skips[level]
+            if kind == want:
+                return t
+            if kind == "padded":
+                t, kind = unpad_s2d(t), "s2d"
+            if kind == "pixel" and want in ("s2d", "padded"):
+                t, kind = S.s2d_unshifted(t), "s2d"
+            if kind == "s2d" and want == "pixel":
+                return S.d2s(t)
+            if kind == "s2d" and want == "padded":
+                return pad_s2d(t)
+            return t
+
         for site, cin, cout, level, deconv in self.dec_spec:
             s2d = level in self.s2d_levels
             k = W[f"{deconv}/kernel"].astype(dt)
             b = W[f"{deconv}/bias"].astype(dt)
             up = jax.nn.relu(_deconv_matmul(h, k, b))  # unshifted s2d @ level
-            if level in self.pallas_levels:
-                cat = S.concat_s2d(pad_s2d(up), skips[level])  # both padded
+            if level in self.pallas_levels and self.pallas_decoder:
+                cat = S.concat_s2d(pad_s2d(up), skip_as(level, "padded"))
                 h = self._block_pallas(W, cat, site, cin, cout, mods)
                 if level > 1:
                     h = S.d2s(unpad_s2d(h))
                 continue
             if s2d:
-                cat = S.concat_s2d(up, skips[level])
+                cat = S.concat_s2d(up, skip_as(level, "s2d"))
                 x_in = S.u2s(cat)
                 h = self._block(W, x_in, site, cin, cout, mods, True)
             else:
                 up_px = S.d2s(up)
-                cat = jnp.concatenate([up_px, skips[level]], axis=-1)
+                cat = jnp.concatenate([up_px, skip_as(level, "pixel")], axis=-1)
                 h = self._block(W, cat, site, cin, cout, mods, False)
             if s2d and level > 1:
                 h = S.d2s(h)  # next deconv consumes the pixel domain
