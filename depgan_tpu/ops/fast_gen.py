@@ -108,6 +108,11 @@ class FastGenerator:
             else:
                 k, b = conv_leaf(block, lname)
             if level in self.s2d_levels or level in self.pallas_levels:
+                if level in self.pallas_levels:
+                    # Pixel-domain twins for the encoder/decoder bisection
+                    # switches (plain _block falls back to these).
+                    put(f"{tag}/kernel_px", k)
+                    put(f"{tag}/bias_px", b)
                 if pad_cin is not None and k.shape[2] < pad_cin:
                     k = np.pad(k, ((0, 0), (0, 0), (0, pad_cin - k.shape[2]), (0, 0)))
                 k4, b4 = S.conv3x3_to_s2d_kernel(k, b)
@@ -151,6 +156,8 @@ class FastGenerator:
             k4, b4 = S.conv1x1_to_s2d_kernel(seg["kernel"], seg["bias"])
             put("gen_segmentation/kernel", k4)
             put("gen_segmentation/bias", b4)
+            put("gen_segmentation/kernel_px", seg["kernel"])
+            put("gen_segmentation/bias_px", seg["bias"])
         else:
             put("gen_segmentation/kernel", seg["kernel"])
             put("gen_segmentation/bias", seg["bias"])
@@ -217,13 +224,15 @@ class FastGenerator:
             h1 = jax.nn.relu(S.conv2x2_s2d(S.u2s(s), W[f"{cout_name}/kernel"].astype(dt),
                                            W[f"{cout_name}/bias"].astype(dt)))
         else:
-            h0 = jax.nn.relu(_conv(x_in, W[f"{cin_name}/kernel"].astype(dt),
-                                   W[f"{cin_name}/bias"].astype(dt)))
-            hn = _conv(h0, W[f"noise_{site}/kernel"].astype(dt),
-                       W[f"noise_{site}/bias"].astype(dt))
+            def kb(name):
+                if f"{name}/kernel_px" in W:
+                    return W[f"{name}/kernel_px"].astype(dt), W[f"{name}/bias_px"].astype(dt)
+                return W[f"{name}/kernel"].astype(dt), W[f"{name}/bias"].astype(dt)
+
+            h0 = jax.nn.relu(_conv(x_in, *kb(cin_name)))
+            hn = _conv(h0, *kb(f"noise_{site}"))
             s = h0 + self._film(hn, gamma.astype(dt), beta.astype(dt), False)
-            h1 = jax.nn.relu(_conv(s, W[f"{cout_name}/kernel"].astype(dt),
-                                   W[f"{cout_name}/bias"].astype(dt)))
+            h1 = jax.nn.relu(_conv(s, *kb(cout_name)))
         return h1
 
     def _forward(self, W, x, z):
@@ -300,16 +309,24 @@ class FastGenerator:
             if s2d and level > 1:
                 h = S.d2s(h)  # next deconv consumes the pixel domain
 
-        # head
-        kseg = W["gen_segmentation/kernel"].astype(jnp.float32)
-        bseg = W["gen_segmentation/bias"].astype(jnp.float32)
+        # head — h is padded-s2d only when the level-1 decoder ran on the
+        # pallas path; pixel otherwise.
+        head_s2d_padded = 1 in self.pallas_levels and self.pallas_decoder
+        head_s2d = 1 in self.s2d_levels
+        if head_s2d_padded or head_s2d:
+            kseg = W["gen_segmentation/kernel"].astype(jnp.float32)
+            bseg = W["gen_segmentation/bias"].astype(jnp.float32)
+        else:
+            key = "gen_segmentation/kernel_px" if "gen_segmentation/kernel_px" in W else "gen_segmentation/kernel"
+            kseg = W[key].astype(jnp.float32)
+            bseg = W[key.replace("kernel", "bias")].astype(jnp.float32)
         h = h.astype(jnp.float32)
         logits = lax.conv_general_dilated(
             h, kseg, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
         ) + bseg
-        if 1 in self.pallas_levels:
+        if head_s2d_padded:
             logits = S.d2s(unpad_s2d(logits))
-        elif 1 in self.s2d_levels:
+        elif head_s2d:
             logits = S.d2s(logits)
         if self.cfg.n_out == 1:
             return jnp.tanh(logits)

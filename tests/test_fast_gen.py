@@ -69,6 +69,21 @@ def test_fast_two_channel_input():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.parametrize("enc,dec", [(True, False), (False, True)])
+def test_pallas_bisection_switches(enc, dec):
+    cfg = ModelConfig(image_size=32, first_fm=8)
+    model, variables = _randomized(cfg, seed=11)
+    fast = FastGenerator(cfg, variables, pallas_levels=(1,),
+                         compute_dtype=jnp.float32)
+    fast.pallas_encoder = enc
+    fast.pallas_decoder = dec
+    x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 1))
+    z = jax.random.normal(jax.random.key(2), (2, 32, 1))
+    ref = model.apply(variables, x, z, train=False)
+    out = fast(x, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
 def test_fast_bf16_is_close():
     cfg = ModelConfig(image_size=32, first_fm=8)
     model, variables = _randomized(cfg, seed=5)
