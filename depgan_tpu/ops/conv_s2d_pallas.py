@@ -47,6 +47,110 @@ def pad_s2d(y: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
+# ---------------------------------------------------------------------------
+# Relayout kernels — the XLA-level conversions around the conv kernel cost
+# 1.5-2 ms each on this backend (full HBM passes with poor lowering); these
+# keep them in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _pool_kernel(x_ref, o_ref, *, n: int, c: int):
+    """Padded s2d (1, N+2, N+2, 4C) -> pixel-domain 2x2 max-pool (1, N, N, C).
+
+    Pool windows coincide with s2d sub-pixel groups: a pure 4-way lane-group
+    max over the interior (reference MaxPooling2D semantics)."""
+    x = x_ref[0]
+    interior = x[1 : n + 1, 1 : n + 1, :]
+    g = lambda k: interior[:, :, k * c : (k + 1) * c]
+    o_ref[0] = jnp.maximum(
+        jnp.maximum(g(0), g(1)), jnp.maximum(g(2), g(3))
+    )
+
+
+def pool_s2d_pallas(x_padded: jnp.ndarray) -> jnp.ndarray:
+    b, p_dim, _, c4 = x_padded.shape
+    n, c = p_dim - 2, c4 // 4
+    return pl.pallas_call(
+        partial(_pool_kernel, n=n, c=c),
+        out_shape=jax.ShapeDtypeStruct((b, n, n, c), x_padded.dtype),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, p_dim, p_dim, c4), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n, n, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x_padded)
+
+
+def _entry_kernel(x_ref, o_ref, *, n: int, c_in: int, c_pad: int):
+    """Pixel (1, 2N, 2N, C_in) -> padded s2d (1, N+2, N+2, 4*c_pad) with
+    each sub-pixel group zero-padded from C_in to c_pad channels."""
+    x = x_ref[0]
+    o_ref[...] = jnp.zeros_like(o_ref)
+    for p in range(2):
+        for q in range(2):
+            dst = p * 2 + q
+            o_ref[0, 1 : n + 1, 1 : n + 1, dst * c_pad : dst * c_pad + c_in] = x[
+                p::2, q::2, :
+            ]
+
+
+def entry_pack_pallas(x: jnp.ndarray, c_pad: int = 32) -> jnp.ndarray:
+    b, h, w, c_in = x.shape
+    n = h // 2
+    return pl.pallas_call(
+        partial(_entry_kernel, n=n, c_in=c_in, c_pad=c_pad),
+        out_shape=jax.ShapeDtypeStruct((b, n + 2, n + 2, 4 * c_pad), x.dtype),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w, c_in), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n + 2, n + 2, 4 * c_pad), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x)
+
+
+def _padcat_kernel(up_ref, skip_ref, o_ref, *, n: int, c1: int, c2: int):
+    """Unshifted s2d up (1, N, N, 4C1) + padded s2d skip (1, N+2, N+2, 4C2)
+    -> padded s2d concat (1, N+2, N+2, 4(C1+C2)), channels interleaved per
+    sub-pixel group in [up, skip] order (reference decoder concat)."""
+    up = up_ref[0]
+    skip = skip_ref[0]
+    o_ref[...] = jnp.zeros_like(o_ref)
+    cc = c1 + c2
+    for g in range(4):
+        o_ref[0, 1 : n + 1, 1 : n + 1, g * cc : g * cc + c1] = up[
+            :, :, g * c1 : (g + 1) * c1
+        ]
+        o_ref[0, :, :, g * cc + c1 : (g + 1) * cc] = skip[
+            :, :, g * c2 : (g + 1) * c2
+        ]
+
+
+def pad_concat_pallas(up: jnp.ndarray, skip_padded: jnp.ndarray) -> jnp.ndarray:
+    b, n, _, c14 = up.shape
+    p_dim = n + 2
+    c24 = skip_padded.shape[-1]
+    c1, c2 = c14 // 4, c24 // 4
+    return pl.pallas_call(
+        partial(_padcat_kernel, n=n, c1=c1, c2=c2),
+        out_shape=jax.ShapeDtypeStruct((b, p_dim, p_dim, c14 + c24), up.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, n, c14), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p_dim, p_dim, c24), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p_dim, p_dim, c14 + c24), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(up, skip_padded)
+
+
 def unpad_s2d(y: jnp.ndarray) -> jnp.ndarray:
     return y[:, 1:-1, 1:-1, :]
 

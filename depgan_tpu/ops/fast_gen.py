@@ -240,7 +240,13 @@ class FastGenerator:
         mods = self._site_mods(W, z.astype(jnp.float32))
         x = x.astype(dt)
 
-        from .conv_s2d_pallas import pad_s2d, unpad_s2d
+        from .conv_s2d_pallas import (
+            entry_pack_pallas,
+            pad_concat_pallas,
+            pad_s2d,
+            pool_s2d_pallas,
+            unpad_s2d,
+        )
 
         skips = {}  # level -> (tensor, layout) with layout in
         # {'pixel', 's2d' (unshifted), 'padded' (padded s2d)}
@@ -248,15 +254,13 @@ class FastGenerator:
         for site, cin, cout, level in self.enc_spec:
             s2d = level in self.s2d_levels
             if level in self.pallas_levels and self.pallas_encoder:
-                if cin == "gen_0" and h.shape[-1] < self.entry_pad_cin:
-                    h = jnp.pad(
-                        h, ((0, 0), (0, 0), (0, 0),
-                            (0, self.entry_pad_cin - h.shape[-1]))
-                    )
-                x_in = pad_s2d(S.s2d_unshifted(h))
+                if cin == "gen_0" and h.shape[-1] <= self.entry_pad_cin:
+                    x_in = entry_pack_pallas(h, c_pad=self.entry_pad_cin)
+                else:
+                    x_in = pad_s2d(S.s2d_unshifted(h))
                 h1 = self._block_pallas(W, x_in, site, cin, cout, mods)
                 skips[level] = (h1, "padded")
-                h = S.pool2x2_s2d(unpad_s2d(h1))  # pixel domain
+                h = pool_s2d_pallas(h1)  # pixel domain
                 continue
             x_in = S.s2d_shifted(h) if s2d else h
             h1 = self._block(W, x_in, site, cin, cout, mods, s2d)
@@ -293,7 +297,7 @@ class FastGenerator:
             b = W[f"{deconv}/bias"].astype(dt)
             up = jax.nn.relu(_deconv_matmul(h, k, b))  # unshifted s2d @ level
             if level in self.pallas_levels and self.pallas_decoder:
-                cat = S.concat_s2d(pad_s2d(up), skip_as(level, "padded"))
+                cat = pad_concat_pallas(up, skip_as(level, "padded"))
                 h = self._block_pallas(W, cat, site, cin, cout, mods)
                 if level > 1:
                     h = S.d2s(unpad_s2d(h))
