@@ -83,33 +83,24 @@ def pool_s2d_pallas(x_padded: jnp.ndarray) -> jnp.ndarray:
     )(x_padded)
 
 
-def _entry_kernel(x_ref, o_ref, *, n: int, c_in: int, c_pad: int):
-    """Pixel (1, 2N, 2N, C_in) -> padded s2d (1, N+2, N+2, 4*c_pad) with
-    each sub-pixel group zero-padded from C_in to c_pad channels."""
-    x = x_ref[0]
-    o_ref[...] = jnp.zeros_like(o_ref)
-    for p in range(2):
-        for q in range(2):
-            dst = p * 2 + q
-            o_ref[0, 1 : n + 1, 1 : n + 1, dst * c_pad : dst * c_pad + c_in] = x[
-                p::2, q::2, :
-            ]
+def entry_pack(x: jnp.ndarray, c_pad: int = 32) -> jnp.ndarray:
+    """Pixel (B, 2N, 2N, C_in) -> padded s2d (B, N+2, N+2, 4*c_pad) with
+    each sub-pixel group zero-padded from C_in to c_pad channels.
 
+    XLA implementation, ordered so every pass before the final (unavoidable)
+    write of the padded-lane output touches only the tiny C_in-channel data.
+    (A strided-gather Pallas version is not lowerable: Mosaic supports only
+    2-D gathers.)
+    """
+    from . import s2d_conv as S
 
-def entry_pack_pallas(x: jnp.ndarray, c_pad: int = 32) -> jnp.ndarray:
     b, h, w, c_in = x.shape
     n = h // 2
-    return pl.pallas_call(
-        partial(_entry_kernel, n=n, c_in=c_in, c_pad=c_pad),
-        out_shape=jax.ShapeDtypeStruct((b, n + 2, n + 2, 4 * c_pad), x.dtype),
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, h, w, c_in), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, n + 2, n + 2, 4 * c_pad), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=_interpret(),
-    )(x)
+    s2d = S.s2d_unshifted(x)  # (B, N, N, 4*C_in) — small
+    s2d = jnp.pad(s2d, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    grp = s2d.reshape(b, n + 2, n + 2, 4, c_in)
+    grp = jnp.pad(grp, ((0, 0), (0, 0), (0, 0), (0, 0), (0, c_pad - c_in)))
+    return grp.reshape(b, n + 2, n + 2, 4 * c_pad)
 
 
 def _padcat_kernel(up_ref, skip_ref, o_ref, *, n: int, c1: int, c2: int):

@@ -241,7 +241,7 @@ class FastGenerator:
         x = x.astype(dt)
 
         from .conv_s2d_pallas import (
-            entry_pack_pallas,
+            entry_pack,
             pad_concat_pallas,
             pad_s2d,
             pool_s2d_pallas,
@@ -255,7 +255,7 @@ class FastGenerator:
             s2d = level in self.s2d_levels
             if level in self.pallas_levels and self.pallas_encoder:
                 if cin == "gen_0" and h.shape[-1] <= self.entry_pad_cin:
-                    x_in = entry_pack_pallas(h, c_pad=self.entry_pad_cin)
+                    x_in = entry_pack(h, c_pad=self.entry_pad_cin)
                 else:
                     x_in = pad_s2d(S.s2d_unshifted(h))
                 h1 = self._block_pallas(W, x_in, site, cin, cout, mods)

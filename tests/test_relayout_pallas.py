@@ -7,7 +7,7 @@ from flax import linen as nn
 
 from depgan_tpu.ops import s2d_conv as S
 from depgan_tpu.ops.conv_s2d_pallas import (
-    entry_pack_pallas,
+    entry_pack,
     pad_concat_pallas,
     pad_s2d,
     pool_s2d_pallas,
@@ -25,7 +25,7 @@ def test_pool_matches_max_pool(rng):
 
 def test_entry_pack(rng):
     x = jnp.asarray(rng.normal(size=(2, 16, 16, 2)).astype(np.float32))
-    out = entry_pack_pallas(x, c_pad=4)
+    out = entry_pack(x, c_pad=4)
     # Reference: zero-pad channels to 4 per group, s2d, pad ring.
     xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 2)))
     ref = pad_s2d(S.s2d_unshifted(xp))
