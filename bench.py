@@ -42,7 +42,9 @@ def main() -> None:
         compute_dtype="bfloat16",
     )
     _, variables = init_generator(cfg, jax.random.key(0))
-    fast = FastGenerator(cfg, variables, s2d_levels=(), pallas_levels=())
+    # Fused Pallas s2d path at the full-resolution level: conv+FiLM epilogues
+    # and the pool/concat relayouts all run in VMEM (see docs/PERF.md).
+    fast = FastGenerator(cfg, variables, s2d_levels=(), pallas_levels=(1,))
 
     @jax.jit
     def forward_scan(weights, x, zs):
