@@ -88,6 +88,20 @@ class TestPredictor:
         dem = np.array([0.5, -0.5])
         np.testing.assert_allclose(reconstruct_follow_up(y1, dem), [1.0, -1.0])
 
+    def test_fast_predictor_matches_module_predictor(self):
+        """fast=True routes through FastGenerator; outputs must agree with
+        the module path to bf16 tolerance for identical noise streams."""
+        cfg = ModelConfig(image_size=32, first_fm=8)
+        model, variables = init_generator(cfg, jax.random.key(0))
+        x = np.random.default_rng(1).normal(size=(4, 32, 32, 1)).astype(np.float32)
+        mask = np.ones((4, 32, 32), np.float32)
+        p_ref = EnsemblePredictor(model, variables, n_repeat=3, seed=7)
+        p_fast = EnsemblePredictor(model, variables, n_repeat=3, seed=7,
+                                   fast=True, model_cfg=cfg)
+        out_ref = p_ref.predict(x, mask)
+        out_fast = p_fast.predict(x, mask)
+        assert np.max(np.abs(out_ref - out_fast)) < 0.05
+
 
 def _write_synthetic_fold(tmp_path, n_subjects=2, size=16, n_slices=4, fold=1):
     """Create a minimal synthetic NIfTI dataset + manifests for one fold."""
