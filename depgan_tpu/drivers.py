@@ -108,11 +108,17 @@ def run_uresnet_training(
 ):
     """Supervised 4-class trainer per fold
     (DEP-UResNet-wNoises-training-4fold.py:434-626)."""
+    from .config import save_config
+
     trainer = UResNetTrainer(model_cfg, train_cfg, mesh=mesh)
     Path(model_dir).mkdir(parents=True, exist_ok=True)
     states = {}
     for fold in folds:
         name = f"{run_name}_fold{fold}"
+        # Architecture description alongside the weights (the reference
+        # writes model.to_json() per epoch,
+        # DEP-UResNet-wNoises-training-4fold.py:623-625).
+        save_config(model_cfg, Path(model_dir) / f"model_{name}.json")
         x, y = dataset.load_uresnet_training_fold(data_cfg, fold)
         x_tr, x_val, y_tr, y_val = train_val_split(
             x, y, data_cfg.val_fraction, data_cfg.split_seed
