@@ -49,10 +49,13 @@ class EnsemblePredictor:
 
         @partial(jax.jit, static_argnums=())
         def _ensemble(variables, x, noises, mask):
+            # lax.map over repeats: one device call, but peak activation
+            # memory of a single forward (a vmap would materialise all R
+            # forwards' intermediates at 256^2 resolution).
             def single(z):
                 return apply_fn(variables, x, z)
 
-            preds = jax.vmap(single)(noises)  # (R, Z, H, W, C_out)
+            preds = jax.lax.map(single, noises)  # (R, Z, H, W, C_out)
             preds = preds * mask[None, ..., None]
             return jnp.mean(preds, axis=0)  # (Z, H, W, C_out)
 

@@ -216,7 +216,10 @@ class GanTrainer:
                 k_probe, (cfg.k_noise, B, self.model_cfg.noise_size, 1)
             )
 
-            # Best-of-k probe, no update (reference :868-877), one vmapped call.
+            # Best-of-k probe, no update (reference :868-877), one device
+            # call. lax.map (not vmap): the k forwards run sequentially on
+            # the core either way, but map keeps peak activation memory at
+            # one forward instead of k (vmap OOMs at batch 64, k=10).
             def probe(z):
                 dem = gen_forward(state, x, z)
                 loss, _ = generator_loss(
@@ -224,7 +227,7 @@ class GanTrainer:
                 )
                 return loss
 
-            probe_losses = jax.vmap(probe)(probe_noises)
+            probe_losses = jax.lax.map(probe, probe_noises)
             best = jnp.argmin(probe_losses)
             z_best = probe_noises[best]
 
