@@ -102,12 +102,15 @@ def main(argv=None) -> int:
                    help="pattern with {fold}, e.g. models/netG_x_fold{fold}.h5")
     p.add_argument("--out-dir", default="outputs/depgan")
     p.add_argument("--n-repeat", type=int, default=10)
+    p.add_argument("--fast", action="store_true",
+                   help="FastGenerator inference (folded BN + Pallas s2d)")
 
     p = sub.add_parser("test-uresnet", help="UResNet inference + evaluation, 4-fold")
     _add_common(p, train_manifests=False)
     p.add_argument("--weights", required=True)
     p.add_argument("--out-dir", default="outputs/depuresnet")
     p.add_argument("--n-repeat", type=int, default=10)
+    p.add_argument("--fast", action="store_true")
 
     p = sub.add_parser("import-weights", help="Keras .h5 -> variables sanity check")
     _add_common(p, train_manifests=False)
@@ -150,6 +153,7 @@ def main(argv=None) -> int:
         eval_cfg = EvalConfig(
             n_repeat=args.n_repeat, use_probability_map=args.pm,
             n_input_channels=args.nicg, output_dir=args.out_dir,
+            fast=args.fast,
         )
         mc = _model_cfg(args)
         results = run_gan_testing(
@@ -162,7 +166,7 @@ def main(argv=None) -> int:
         from .eval.runner import run_uresnet_testing
 
         eval_cfg = EvalConfig(
-            n_repeat=args.n_repeat, output_dir=args.out_dir,
+            n_repeat=args.n_repeat, output_dir=args.out_dir, fast=args.fast,
         )
         mc = _model_cfg(args, n_out=4, dropout="uresnet")
         results = run_uresnet_testing(

@@ -142,6 +142,9 @@ class EvalConfig:
     n_input_channels: int = 1
     output_dir: str = "outputs"
     seed: int = 0
+    # Route inference through the MXU-optimised FastGenerator
+    # (folded BN + fused Pallas s2d convs, ops/fast_gen.py).
+    fast: bool = False
 
     @property
     def wmh_threshold(self) -> float:

@@ -77,7 +77,7 @@ def run_gan_testing(
         model, variables = weights_for_fold(fold)
         predictor = EnsemblePredictor(
             model, variables, eval_cfg.n_repeat, model_cfg.noise_size,
-            seed=eval_cfg.seed + fold,
+            seed=eval_cfg.seed + fold, fast=eval_cfg.fast, model_cfg=model_cfg,
         )
         for subject in prefetch(dataset.iter_gan_test_subjects(data_cfg, fold)):
             dem = predictor.predict(subject.gen_input, subject.icv_sl_mask_2tp)
@@ -125,7 +125,7 @@ def run_uresnet_testing(
         model, variables = weights_for_fold(fold)
         predictor = EnsemblePredictor(
             model, variables, eval_cfg.n_repeat, model_cfg.noise_size,
-            seed=eval_cfg.seed + fold,
+            seed=eval_cfg.seed + fold, fast=eval_cfg.fast, model_cfg=model_cfg,
         )
         for subject in prefetch(dataset.iter_uresnet_test_subjects(data_cfg, fold)):
             probs = predictor.predict(subject.flair, subject.icv_sl_mask_2tp)
