@@ -15,11 +15,9 @@ from __future__ import annotations
 from pathlib import Path
 
 import jax
-import numpy as np
 
 from .config import (
     DataConfig,
-    EvalConfig,
     GanTrainConfig,
     ModelConfig,
     UResNetTrainConfig,
@@ -28,7 +26,7 @@ from .data import dataset
 from .data.dataset import train_val_split
 from .io import h5_import
 from .io.checkpoint import CheckpointManager, export_generator_h5, export_uresnet_h5
-from .models import init_critic, init_generator
+from .models import init_generator
 from .train import Counters, GanTrainer, UResNetTrainer
 from .utils.logging import Logger, LossHistory, NullLogger
 

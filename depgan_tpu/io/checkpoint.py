@@ -15,7 +15,6 @@ reference's testing scripts.
 from __future__ import annotations
 
 import dataclasses
-import json
 from pathlib import Path
 from typing import Any
 

@@ -19,7 +19,7 @@ Module *names* mirror the reference layer names (e.g. ``conv2d_gen_0`` /
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

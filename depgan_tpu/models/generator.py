@@ -18,8 +18,6 @@ Differences between the two published variants are config, not code:
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax.numpy as jnp
 from flax import linen as nn
 

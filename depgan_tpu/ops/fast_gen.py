@@ -21,8 +21,6 @@ dropout machinery); this path is inference-only by design.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

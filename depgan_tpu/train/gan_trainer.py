@@ -33,9 +33,7 @@ for TPU execution:
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from functools import partial
-
+from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np

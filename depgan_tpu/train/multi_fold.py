@@ -28,7 +28,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import DataConfig, GanTrainConfig, ModelConfig
 from ..data.pipeline import EpochShuffler
-from ..parallel.mesh import DATA_AXIS, FOLD_AXIS
+from ..parallel.mesh import FOLD_AXIS
 from .gan_trainer import GanTrainer
 from .state import Counters
 
