@@ -149,6 +149,11 @@ def generator_loader(model_cfg: ModelConfig, weights_pattern: str):
     def weights_for_fold(fold: int):
         model, variables = init_generator(model_cfg, jax.random.key(0))
         path = Path(weights_pattern.format(fold=fold))
+        if not path.is_file():
+            raise FileNotFoundError(
+                f"no weights for fold {fold}: {path} "
+                f"(from pattern '{weights_pattern}')"
+            )
         if path.suffix == ".h5":
             variables = h5_import.import_keras_h5(str(path), variables)
         else:
