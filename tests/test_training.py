@@ -179,6 +179,37 @@ class TestGanSuperstep:
         d_part = jax.tree.leaves(s_part.dy2_params)[0]
         assert float(jnp.max(jnp.abs(d_full - d_part))) > 0
 
+    def test_batch_bn_mode_updates_generator_stats(self):
+        """bn_mode='batch': the generator update uses batch statistics and
+        updates the moving stats (unlike the reference-faithful 'frozen')."""
+        cfg = GanTrainConfig(batch_size=4, d_iters=1, warmup_d_iters=2,
+                             warmup_until=0, warmup_every=10_000, k_noise=2,
+                             bn_mode="batch", validate_every=1000)
+        trainer = GanTrainer(MODEL_CFG, cfg, DataConfig())
+        state = trainer.init_state(jax.random.key(0))
+        before = np.asarray(
+            state.g_stats["block_gen_0"]["bn_gen_0"]["mean"]
+        ).copy()
+        x, y = synth_gan_data(12)
+        idx = np.arange(8, dtype=np.int32).reshape(2, 4)
+        state, _ = trainer.superstep(
+            state, jnp.asarray(x), jnp.asarray(y), idx, 2, jax.random.key(1)
+        )
+        after = np.asarray(state.g_stats["block_gen_0"]["bn_gen_0"]["mean"])
+        assert np.max(np.abs(after - before)) > 0
+
+    def test_frozen_bn_mode_keeps_stats(self):
+        trainer = GanTrainer(MODEL_CFG, GAN_CFG, DataConfig())  # frozen
+        state = trainer.init_state(jax.random.key(0))
+        before = np.asarray(state.g_stats["block_gen_0"]["bn_gen_0"]["mean"]).copy()
+        x, y = synth_gan_data(12)
+        idx = np.arange(8, dtype=np.int32).reshape(2, 4)
+        state, _ = trainer.superstep(
+            state, jnp.asarray(x), jnp.asarray(y), idx, 2, jax.random.key(1)
+        )
+        after = np.asarray(state.g_stats["block_gen_0"]["bn_gen_0"]["mean"])
+        np.testing.assert_array_equal(before, after)
+
     def test_warmup_schedule(self, trainer):
         c = Counters()
         assert trainer._d_iters_for(c) == GAN_CFG.warmup_d_iters  # gen_it 0 < 1
