@@ -42,9 +42,11 @@ def main() -> None:
         compute_dtype="bfloat16",
     )
     _, variables = init_generator(cfg, jax.random.key(0))
-    # Fused Pallas s2d path at the full-resolution level: conv+FiLM epilogues
-    # and the pool/concat relayouts all run in VMEM (see docs/PERF.md).
-    fast = FastGenerator(cfg, variables, s2d_levels=(), pallas_levels=(1,))
+    # Fused Pallas s2d path at the two highest-resolution levels: conv+FiLM
+    # epilogues and the pool/concat relayouts all run in VMEM, and the pool
+    # between levels 1 and 2 emits the next level's layout directly
+    # (see docs/PERF.md).
+    fast = FastGenerator(cfg, variables, s2d_levels=(), pallas_levels=(1, 2))
 
     @jax.jit
     def forward_scan(weights, x, zs):

@@ -103,6 +103,54 @@ def entry_pack(x: jnp.ndarray, c_pad: int = 32) -> jnp.ndarray:
     return grp.reshape(b, n + 2, n + 2, 4 * c_pad)
 
 
+def _deinter_rows(m, p: int, n2: int):
+    """Contiguous reshape + static index — the Mosaic-safe replacement for a
+    stride-2 slice on the leading dim (strided slices lower to unsupported
+    gathers)."""
+    return m[1 : 1 + 2 * n2].reshape(n2, 2, m.shape[1], m.shape[2])[:, p]
+
+
+def _pool_to_s2d_kernel(x_ref, o_ref, *, n: int, c: int):
+    """Padded s2d level-L (1, N+2, N+2, 4C) -> padded s2d level-L+1
+    (1, N/2+2, N/2+2, 4C): the 2x2 max-pool emitting the NEXT level's
+    layout directly, so consecutive fused-conv levels never leave s2d.
+
+    out[bi, bj, (p, q, c)] = pool_pixel(2(bi-1)+p, 2(bj-1)+q)
+                           = max_g in[2bi-1+p, 2bj-1+q, (g, c)].
+    Row/col deinterleave via reshape+index and swapaxes (both Mosaic-safe).
+    """
+    n2 = n // 2
+    x = x_ref[0]
+    g = lambda k: x[:, :, k * c : (k + 1) * c]
+    mx = jnp.maximum(jnp.maximum(g(0), g(1)), jnp.maximum(g(2), g(3)))
+    o_ref[...] = jnp.zeros_like(o_ref)
+    for p in range(2):
+        rows = _deinter_rows(mx, p, n2)          # (N/2, N+2, C)
+        t = jnp.swapaxes(rows, 0, 1)             # cols -> leading
+        for q in range(2):
+            cols = _deinter_rows(t, q, n2)       # (N/2, N/2, C)
+            blk = jnp.swapaxes(cols, 0, 1)
+            dst = p * 2 + q
+            o_ref[0, 1 : n2 + 1, 1 : n2 + 1, dst * c : (dst + 1) * c] = blk
+
+
+def pool_to_s2d_pallas(x_padded: jnp.ndarray) -> jnp.ndarray:
+    b, p_dim, _, c4 = x_padded.shape
+    n, c = p_dim - 2, c4 // 4
+    n2 = n // 2
+    return pl.pallas_call(
+        partial(_pool_to_s2d_kernel, n=n, c=c),
+        out_shape=jax.ShapeDtypeStruct((b, n2 + 2, n2 + 2, c4), x_padded.dtype),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, p_dim, p_dim, c4), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n2 + 2, n2 + 2, c4), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x_padded)
+
+
 def _padcat_kernel(up_ref, skip_ref, o_ref, *, n: int, c1: int, c2: int):
     """Unshifted s2d up (1, N, N, 4C1) + padded s2d skip (1, N+2, N+2, 4C2)
     -> padded s2d concat (1, N+2, N+2, 4(C1+C2)), channels interleaved per

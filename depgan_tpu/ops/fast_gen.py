@@ -243,32 +243,42 @@ class FastGenerator:
             pad_concat_pallas,
             pad_s2d,
             pool_s2d_pallas,
+            pool_to_s2d_pallas,
             unpad_s2d,
         )
 
         skips = {}  # level -> (tensor, layout) with layout in
         # {'pixel', 's2d' (unshifted), 'padded' (padded s2d)}
         h = x
+        h_layout = "pixel"
         for site, cin, cout, level in self.enc_spec:
             s2d = level in self.s2d_levels
             if level in self.pallas_levels and self.pallas_encoder:
-                if cin == "gen_0" and h.shape[-1] <= self.entry_pad_cin:
+                if h_layout == "padded":
+                    x_in = h  # previous pallas level's pool emitted our layout
+                elif cin == "gen_0" and h.shape[-1] <= self.entry_pad_cin:
                     x_in = entry_pack(h, c_pad=self.entry_pad_cin)
                 else:
                     x_in = pad_s2d(S.s2d_unshifted(h))
                 h1 = self._block_pallas(W, x_in, site, cin, cout, mods)
                 skips[level] = (h1, "padded")
-                h = pool_s2d_pallas(h1)  # pixel domain
+                if (level + 1) in self.pallas_levels:
+                    # Pool straight into the next level's padded s2d layout.
+                    h, h_layout = pool_to_s2d_pallas(h1), "padded"
+                else:
+                    h, h_layout = pool_s2d_pallas(h1), "pixel"
                 continue
+            if h_layout == "padded":
+                h, h_layout = S.d2s(unpad_s2d(h)), "pixel"
             x_in = S.s2d_shifted(h) if s2d else h
             h1 = self._block(W, x_in, site, cin, cout, mods, s2d)
             skips[level] = (h1, "s2d" if s2d else "pixel")
             if s2d:
-                h = S.pool2x2_s2d(h1)  # emits pixel domain
+                h, h_layout = S.pool2x2_s2d(h1), "pixel"
             else:
                 from flax import linen as nn
 
-                h = nn.max_pool(h1, (2, 2), (2, 2))
+                h, h_layout = nn.max_pool(h1, (2, 2), (2, 2)), "pixel"
 
         # bottleneck (always pixel domain; 128ch tiles the MXU fine)
         site, cin, cout, _ = self.mid_spec

@@ -32,6 +32,17 @@ def test_entry_pack(rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_pool_to_s2d_emits_next_level_layout(rng):
+    from depgan_tpu.ops.conv_s2d_pallas import pool_to_s2d_pallas
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+    padded = pad_s2d(S.s2d_unshifted(x))  # level-L layout, N=8
+    out = pool_to_s2d_pallas(padded)      # level-(L+1) layout, N=4
+    pooled = nn.max_pool(x, (2, 2), (2, 2))  # (2, 8, 8, 8) pixel
+    ref = pad_s2d(S.s2d_unshifted(pooled))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_pad_concat(rng):
     up = jnp.asarray(rng.normal(size=(2, 8, 8, 12)).astype(np.float32))
     skip_px = jnp.asarray(rng.normal(size=(2, 16, 16, 2)).astype(np.float32))
