@@ -38,7 +38,9 @@ class EnsemblePredictor:
             from ..ops.fast_gen import FastGenerator
 
             assert model_cfg is not None, "fast=True requires model_cfg"
-            fg = FastGenerator(model_cfg, variables)
+            # Same configuration as bench.py: fused Pallas s2d at the two
+            # highest-resolution levels (docs/PERF.md).
+            fg = FastGenerator(model_cfg, variables, pallas_levels=(1, 2))
 
             def apply_fn(variables, x, z):
                 del variables
