@@ -60,3 +60,17 @@ def put_replicated(tree, mesh: Mesh):
 
 def put_batch(arr, mesh: Mesh):
     return jax.device_put(arr, batch_sharding(mesh, np.ndim(arr)))
+
+
+def data_parallel(mesh: Mesh | None) -> bool:
+    """True when the mesh has a >1-way data axis to shard batches over."""
+    return mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1
+
+
+def constrain_batch(a, mesh: Mesh, axis: int = 0):
+    """Inside jit: pin ``a``'s batch axis to the data axis so the compute
+    downstream is genuinely data-parallel (XLA derives the gradient psum for
+    the replicated params from this annotation alone)."""
+    spec = [None] * a.ndim
+    spec[axis] = DATA_AXIS
+    return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, P(*spec)))

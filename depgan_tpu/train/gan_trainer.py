@@ -44,8 +44,46 @@ from ..data.pipeline import EpochShuffler
 from ..models.critic import make_critic
 from ..models.generator import make_generator
 from ..parallel import mesh as meshlib
+from ..utils.profiling import StepTimer
 from .state import Counters, GanTrainState, tree_select
 from .wgan_gp import critic_step_loss, generator_loss
+
+
+_GEN_TAGS = [
+    ("errG_losses", "errG"), ("errG_CY2_losses", "errG_CY2"),
+    ("errG_DEM_losses", "errG_DEM"), ("errG_MSE_losses", "errG_MSE"),
+    ("errG_VOL_losses", "errG_VOL"), ("errG_WMH_losses", "errG_WMH"),
+]
+
+
+def log_superstep_metrics(log, metrics, counters, n_valid, prefix: str = ""):
+    """Emit the reference's full scalar tag set for one superstep
+    (reference :811-886): per-critic-iteration errCrit_* streams, per-gen-
+    iteration errDC_* snapshots and the 6 generator loss terms. ``prefix``
+    namespaces the tags (multi-fold logs ``fold{k}/...``). Returns the
+    generator aux dict as floats."""
+    y2r = np.asarray(metrics["crit_y2_real"])[:n_valid]
+    y2f = np.asarray(metrics["crit_y2_fake"])[:n_valid]
+    dr = np.asarray(metrics["crit_dem_real"])[:n_valid]
+    df = np.asarray(metrics["crit_dem_fake"])[:n_valid]
+    for j in range(n_valid):
+        log(prefix + "errCrit_aaLosses", y2r[j] - y2f[j], counters.crit_iterations + j)
+        log(prefix + "errCrit_aReal_losses", y2r[j], counters.crit_iterations + j)
+        log(prefix + "errCrit_aFake_losses", y2f[j], counters.crit_iterations + j)
+        log(prefix + "errCrit_DEM_aaLosses", dr[j] - df[j], counters.crit_dem_iterations + j)
+        log(prefix + "errCrit_DEM_aReal_losses", dr[j], counters.crit_dem_iterations + j)
+        log(prefix + "errCrit_DEM_aFake_losses", df[j], counters.crit_dem_iterations + j)
+    gi = counters.gen_iterations
+    log(prefix + "errDC_aaLosses", y2r[-1] - y2f[-1], gi)
+    log(prefix + "errDC_aReal_losses", y2r[-1], gi)
+    log(prefix + "errDC_aFake_losses", y2f[-1], gi)
+    log(prefix + "errDC_DEM_aaLosses", dr[-1] - df[-1], gi)
+    log(prefix + "errDC_DEM_aReal_losses", dr[-1], gi)
+    log(prefix + "errDC_DEM_aFake_losses", df[-1], gi)
+    gen_aux = {k: float(v) for k, v in metrics["gen"].items()}
+    for tag, kname in _GEN_TAGS:
+        log(prefix + tag, gen_aux[kname], gi)
+    return gen_aux
 
 
 @dataclass
@@ -73,6 +111,10 @@ class GanTrainer:
         self.cfg = train_cfg
         self.threshold = (data_cfg or DataConfig()).wmh_threshold
         self.mesh = mesh
+        # Real data parallelism (SURVEY §2.7): batch leaves pinned to the
+        # mesh's data axis inside the superstep; params stay replicated and
+        # XLA inserts the gradient psum from the shardings alone.
+        self._data_parallel = meshlib.data_parallel(mesh)
         self.gen = make_generator(model_cfg)
         self.critic = make_critic(model_cfg)
         self.tx_d = optax.adam(train_cfg.lr_d, b1=train_cfg.adam_b1, b2=train_cfg.adam_b2)
@@ -121,6 +163,11 @@ class GanTrainer:
         cfg, threshold = self.cfg, self.threshold
         tx_d, tx_g = self.tx_d, self.tx_g
         batch_bn = cfg.bn_mode == "batch"
+        if self._data_parallel:
+            mesh = self.mesh
+            shard_b = lambda a, axis=0: meshlib.constrain_batch(a, mesh, axis)
+        else:
+            shard_b = lambda a, axis=0: a
 
         def gen_forward(state, x, z):
             """G forward as seen by the critic graphs — Keras learning-phase
@@ -134,17 +181,17 @@ class GanTrainer:
             B = idx.shape[1]
             noise_shape = (d_iters, B, self.model_cfg.noise_size, 1)
             k_ny2, k_ey2, k_ndem, k_edem, k_probe, k_drop = jax.random.split(key, 6)
-            noises_y2 = jax.random.normal(k_ny2, noise_shape)
-            eps_y2 = jax.random.uniform(k_ey2, (d_iters, B, 1, 1, 1))
-            noises_dem = jax.random.normal(k_ndem, noise_shape)
-            eps_dem = jax.random.uniform(k_edem, (d_iters, B, 1, 1, 1))
+            noises_y2 = shard_b(jax.random.normal(k_ny2, noise_shape), 1)
+            eps_y2 = shard_b(jax.random.uniform(k_ey2, (d_iters, B, 1, 1, 1)), 1)
+            noises_dem = shard_b(jax.random.normal(k_ndem, noise_shape), 1)
+            eps_dem = shard_b(jax.random.uniform(k_edem, (d_iters, B, 1, 1, 1)), 1)
 
             # ---- critic Y2 inner loop (reference :802-814) ----
             def crit_y2_body(carry, xs):
                 params, opt = carry
                 b_idx, z, ep, ok = xs
-                x = x_all[b_idx]
-                y2 = y_all[b_idx]
+                x = shard_b(x_all[b_idx])
+                y2 = shard_b(y_all[b_idx])
                 y1 = x[..., :1]
                 fake_y2 = y1 + gen_forward(state, x, z)
 
@@ -171,8 +218,8 @@ class GanTrainer:
             def crit_dem_body(carry, xs):
                 params, opt = carry
                 b_idx, z, ep, ok = xs
-                x = x_all[b_idx]
-                y2 = y_all[b_idx]
+                x = shard_b(x_all[b_idx])
+                y2 = shard_b(y_all[b_idx])
                 y1 = x[..., :1]
                 dem_fake = gen_forward(state, x, z)
                 dem_real = y2 - y1
@@ -203,15 +250,18 @@ class GanTrainer:
             # ---- generator step on the last consumed batch (reference :873) ----
             last = jnp.argmax(jnp.cumsum(valid.astype(jnp.int32))) # last valid iter
             gen_idx = idx[last]
-            x = x_all[gen_idx]
-            y2 = y_all[gen_idx]
+            x = shard_b(x_all[gen_idx])
+            y2 = shard_b(y_all[gen_idx])
             y1 = x[..., :1]
 
             crit_y2_fn = lambda img: critic.apply({"params": state.dy2_params}, img)
             crit_dem_fn = lambda img: critic.apply({"params": state.ddem_params}, img)
 
-            probe_noises = jax.random.normal(
-                k_probe, (cfg.k_noise, B, self.model_cfg.noise_size, 1)
+            probe_noises = shard_b(
+                jax.random.normal(
+                    k_probe, (cfg.k_noise, B, self.model_cfg.noise_size, 1)
+                ),
+                1,
             )
 
             # Best-of-k probe, no update (reference :868-877), one device
@@ -297,8 +347,12 @@ class GanTrainer:
         ``n_valid`` rows are real batches (rest are padding)."""
         d = idx_block.shape[0]
         valid = jnp.arange(d) < n_valid
-        state, metrics = self._steps[d](state, x_all, y_all, jnp.asarray(idx_block),
-                                        valid, key)
+        idx = jnp.asarray(idx_block)
+        if self._data_parallel:
+            # Shard the batch axis of the index stack over `data`; the
+            # on-device gather then yields data-parallel batch leaves.
+            idx = jax.device_put(idx, meshlib.index_sharding(self.mesh, idx.ndim))
+        state, metrics = self._steps[d](state, x_all, y_all, idx, valid, key)
         return state, metrics
 
     def fit_fold(
@@ -319,6 +373,10 @@ class GanTrainer:
         n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
         key = jax.random.key(seed if seed is not None else cfg.seed + fold)
 
+        # The fold dataset stays replicated (folds are small — ~4,800 slices,
+        # SURVEY §6 — so batch gathers are comm-free); the *batch* leaves are
+        # sharded over `data` by superstep's index sharding + the in-jit
+        # constrain_batch pins, which is where the data parallelism lives.
         def put(arr):
             return (
                 meshlib.put_replicated(jnp.asarray(arr), self.mesh)
@@ -335,6 +393,8 @@ class GanTrainer:
         shuffler = EpochShuffler(x_train.shape[0], cfg.batch_size, cfg.seed + fold)
         t0 = time.time()
         log = logger.log_scalar if logger is not None else (lambda *a: None)
+        timer = StepTimer()
+        graph_logged = False
 
         for epoch in range(n_epochs):
             idx_epoch = shuffler.epoch()
@@ -348,38 +408,25 @@ class GanTrainer:
                 i += n_valid
 
                 key, sk = jax.random.split(key)
+                if logger is not None and not graph_logged:
+                    # TensorBoard graph tab (reference log_graph :174-175,:510):
+                    # the jaxpr of the exact superstep about to run.
+                    logger.log_graph(
+                        self._superstep_fns[d],
+                        (state, x_all, y_all, jnp.asarray(block),
+                         jnp.arange(d) < n_valid, sk),
+                    )
+                    graph_logged = True
                 state, metrics = self.superstep(state, x_all, y_all, block, n_valid, sk)
 
                 # --- logging at reference-equivalent resolution ---
-                y2r = np.asarray(metrics["crit_y2_real"])[:n_valid]
-                y2f = np.asarray(metrics["crit_y2_fake"])[:n_valid]
-                dr = np.asarray(metrics["crit_dem_real"])[:n_valid]
-                df = np.asarray(metrics["crit_dem_fake"])[:n_valid]
-                for j in range(n_valid):
-                    log("errCrit_aaLosses", y2r[j] - y2f[j], counters.crit_iterations + j)
-                    log("errCrit_aReal_losses", y2r[j], counters.crit_iterations + j)
-                    log("errCrit_aFake_losses", y2f[j], counters.crit_iterations + j)
-                    log("errCrit_DEM_aaLosses", dr[j] - df[j], counters.crit_dem_iterations + j)
-                    log("errCrit_DEM_aReal_losses", dr[j], counters.crit_dem_iterations + j)
-                    log("errCrit_DEM_aFake_losses", df[j], counters.crit_dem_iterations + j)
+                gen_aux = log_superstep_metrics(log, metrics, counters, n_valid)
                 counters = counters.replace(
                     crit_iterations=counters.crit_iterations + n_valid,
                     crit_dem_iterations=counters.crit_dem_iterations + n_valid,
                 )
                 gi = counters.gen_iterations
-                log("errDC_aaLosses", y2r[-1] - y2f[-1], gi)
-                log("errDC_aReal_losses", y2r[-1], gi)
-                log("errDC_aFake_losses", y2f[-1], gi)
-                log("errDC_DEM_aaLosses", dr[-1] - df[-1], gi)
-                log("errDC_DEM_aReal_losses", dr[-1], gi)
-                log("errDC_DEM_aFake_losses", df[-1], gi)
-                gen_aux = {k: float(v) for k, v in metrics["gen"].items()}
-                for tag, kname in [
-                    ("errG_losses", "errG"), ("errG_CY2_losses", "errG_CY2"),
-                    ("errG_DEM_losses", "errG_DEM"), ("errG_MSE_losses", "errG_MSE"),
-                    ("errG_VOL_losses", "errG_VOL"), ("errG_WMH_losses", "errG_WMH"),
-                ]:
-                    log(tag, gen_aux[kname], gi)
+                timer.step()
 
                 # --- validation (reference :842-855) ---
                 if gi % cfg.validate_every == 0:
@@ -387,24 +434,32 @@ class GanTrainer:
                     log("val_D_fake_loss", float(d_fake), gi)
                     log("val_D_real_loss", float(d_real), gi)
                     log("val_D_real_generated_loss", float(d_gen), gi)
+                    if logger is not None:
+                        timer.log_to(logger, gi)
+                    err_d = float(
+                        np.asarray(metrics["crit_y2_real"])[n_valid - 1]
+                        - np.asarray(metrics["crit_y2_fake"])[n_valid - 1]
+                    )
                     print(
                         f"TRN FOLD {fold} [{epoch}/{n_epochs}][{i}/{n_batches}]"
-                        f"[{gi}] errD {y2r[-1] - y2f[-1]:+.4f} "
+                        f"[{gi}] errD {err_d:+.4f} "
                         f"errG {gen_aux['errG']:+.4f} ({time.time() - t0:.1f}s)"
                     )
                     # Validation images every image_log_every gen iterations
-                    # (reference :858-865: generated DEM + fake follow-up).
+                    # (reference :858-865: generated DEM + fake follow-up,
+                    # first n_val_images of the val set — [:50] at ref :862).
                     if logger is not None and gi % cfg.image_log_every == 0:
+                        k_img = cfg.n_val_images
                         dem = self.gen.apply(
                             {"params": state.g_params, "batch_stats": state.g_stats},
                             xv, fixed_noise, train=False,
                         )
                         fake = xv[..., :1] + dem
                         logger.log_images(
-                            f"attributed_img_step{gi}", np.asarray(dem[:8]), gi
+                            f"attributed_img_step{gi}", np.asarray(dem[:k_img]), gi
                         )
                         logger.log_images(
-                            f"fake_img_step{gi}", np.asarray(fake[:8]), gi
+                            f"fake_img_step{gi}", np.asarray(fake[:k_img]), gi
                         )
 
                 counters = counters.replace(gen_iterations=gi + 1)

@@ -32,6 +32,7 @@ from ..data.pipeline import EpochShuffler
 from ..data.preprocess import one_hot
 from ..models.generator import make_generator
 from ..parallel import mesh as meshlib
+from ..utils.profiling import StepTimer
 from .state import UResNetTrainState
 
 KERAS_EPS = 1e-7  # Keras clips softmax outputs before the log
@@ -54,6 +55,7 @@ class UResNetTrainer:
     def __post_init__(self):
         self.model = make_generator(self.model_cfg)
         self.tx = optax.adam(self.train_cfg.lr)
+        self._data_parallel = meshlib.data_parallel(self.mesh)
         self._step = self._build_step()
         self._val_step = self._build_val_step()
 
@@ -77,11 +79,17 @@ class UResNetTrainer:
 
     def _build_step(self):
         model, tx = self.model, self.tx
+        if self._data_parallel:
+            mesh = self.mesh
+            shard_b = lambda a: meshlib.constrain_batch(a, mesh)
+        else:
+            shard_b = lambda a: a
 
         @partial(jax.jit, donate_argnums=0)
         def step(state, x_all, y_all, idx, noise, drop_key):
-            x = x_all[idx]
-            y = y_all[idx]
+            x = shard_b(x_all[idx])
+            y = shard_b(y_all[idx])
+            noise = shard_b(noise)
 
             def loss_fn(params):
                 out, updates = model.apply(
@@ -161,6 +169,7 @@ class UResNetTrainer:
 
         shuffler = EpochShuffler(x_train.shape[0], cfg.batch_size, seed)
         t0 = time.time()
+        timer = StepTimer()
         for epoch in range(n_epochs):
             idx_epoch = shuffler.epoch() if cfg.shuffle_each_epoch else (
                 np.arange(shuffler.n_batches * cfg.batch_size)
@@ -174,6 +183,8 @@ class UResNetTrainer:
             losses = []
             for b in range(idx_epoch.shape[0]):
                 idx = jnp.asarray(idx_epoch[b])
+                if self._data_parallel:
+                    idx = jax.device_put(idx, meshlib.batch_sharding(self.mesh, 1))
                 key, dk = jax.random.split(key)
                 state, loss = self._step(
                     state, x_all, y_all, idx, epoch_noise[idx], dk
@@ -183,9 +194,11 @@ class UResNetTrainer:
             val_loss = float(self._val_step(state, xv, fixed_noise, yv))
             state = state.replace(epoch=state.epoch + 1)
 
+            timer.step()
             if logger is not None:
                 logger.log_scalar("loss", train_loss, epoch)
                 logger.log_scalar("val_loss", val_loss, epoch)
+                timer.log_to(logger, epoch)
             if loss_history is not None:
                 loss_history.append(train_loss)
             if val_loss_history is not None:
