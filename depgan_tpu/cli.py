@@ -5,11 +5,12 @@ The reference has no CLI — its scripts are edited in place then run
 1:1 onto the reference's top-of-script constants:
 
     depgan train-gan      --manifest-dir train_data_server_fold --pm --nicg 1
+    depgan train-gan      --folds-parallel   # all folds concurrently on a mesh
     depgan train-uresnet  --manifest-dir train_data_server_fold
     depgan test-gan       --weights 'models/netG_depgan_fold{fold}.h5'
     depgan test-uresnet   --weights 'models/trained_depuresnet_fold{fold}.h5'
     depgan import-weights --h5 netG.h5 --out vars.msgpack
-    depgan bench          [--what gen-inference|gan-step]
+    depgan bench          --what gen-inference|gan-step
 """
 
 from __future__ import annotations
@@ -86,6 +87,9 @@ def main(argv=None) -> int:
     p.add_argument("--log-dir", default="logdir")
     p.add_argument("--n-data", type=int, default=-1,
                    help="mesh data-parallel width (-1: all devices)")
+    p.add_argument("--folds-parallel", action="store_true",
+                   help="train all folds concurrently on a (fold, data) mesh "
+                        "(one fold per device group)")
 
     p = sub.add_parser("train-uresnet", help="supervised 4-class training, 4-fold")
     _add_common(p, train_manifests=True)
@@ -112,10 +116,18 @@ def main(argv=None) -> int:
     p.add_argument("--n-repeat", type=int, default=10)
     p.add_argument("--fast", action="store_true")
 
-    p = sub.add_parser("import-weights", help="Keras .h5 -> variables sanity check")
+    p = sub.add_parser("import-weights",
+                       help="Keras .h5 -> Flax variables (optionally saved)")
     _add_common(p, train_manifests=False)
     p.add_argument("--h5", required=True)
     p.add_argument("--n-out", type=int, default=1)
+    p.add_argument("--out", default=None,
+                   help="write the imported variables as msgpack "
+                        "(flax.serialization), e.g. vars.msgpack")
+
+    p = sub.add_parser("bench", help="throughput benchmarks (one JSON line)")
+    p.add_argument("--what", choices=("gen-inference", "gan-step"),
+                   default="gen-inference")
 
     args = parser.parse_args(argv)
 
@@ -123,18 +135,26 @@ def main(argv=None) -> int:
         from . import drivers
         from .parallel import make_mesh
 
-        mesh = make_mesh(n_data=args.n_data)
         cfg = GanTrainConfig(
             batch_size=args.batch_size, n_epochs=args.epochs, d_iters=args.d_iters,
             bn_mode=args.bn_mode, threshold_mode=args.threshold_mode,
             checkpoint_every=args.checkpoint_every,
             reset_counters_per_fold=args.reset_counters_per_fold,
         )
-        drivers.run_gan_training(
-            _model_cfg(args), cfg, _data_cfg(args), run_name=args.run_name,
-            folds=tuple(args.folds), log_dir=args.log_dir,
-            model_dir=args.model_dir, mesh=mesh,
-        )
+        if args.folds_parallel:
+            mesh = make_mesh(n_data=args.n_data, n_fold=len(args.folds))
+            drivers.run_gan_training_multifold(
+                _model_cfg(args), cfg, _data_cfg(args), run_name=args.run_name,
+                folds=tuple(args.folds), log_dir=args.log_dir,
+                model_dir=args.model_dir, mesh=mesh,
+            )
+        else:
+            mesh = make_mesh(n_data=args.n_data)
+            drivers.run_gan_training(
+                _model_cfg(args), cfg, _data_cfg(args), run_name=args.run_name,
+                folds=tuple(args.folds), log_dir=args.log_dir,
+                model_dir=args.model_dir, mesh=mesh,
+            )
     elif args.cmd == "train-uresnet":
         from . import drivers
         from .parallel import make_mesh
@@ -183,8 +203,21 @@ def main(argv=None) -> int:
         mc = _model_cfg(args, n_out=args.n_out,
                         dropout="gan" if args.n_out == 1 else "uresnet")
         _, variables = init_generator(mc, jax.random.key(0))
-        h5_import.import_keras_h5(args.h5, variables)
-        print(json.dumps({"status": "ok", "h5": args.h5}))
+        variables = h5_import.import_keras_h5(args.h5, variables)
+        if args.out:
+            from flax import serialization
+
+            with open(args.out, "wb") as f:
+                f.write(serialization.to_bytes(variables))
+        print(json.dumps({"status": "ok", "h5": args.h5, "out": args.out}))
+    elif args.cmd == "bench":
+        from . import benchmarks
+
+        fn = {
+            "gen-inference": benchmarks.gen_inference_bench,
+            "gan-step": benchmarks.gan_step_bench,
+        }[args.what]
+        print(json.dumps(fn()))
     return 0
 
 

@@ -114,6 +114,7 @@ class GanTrainConfig:
     bn_mode: str = "frozen"
     validate_every: int = 10  # gen iterations (reference :842)
     image_log_every: int = 500  # reference :858
+    n_val_images: int = 50  # validation images per dump (reference :862 [:50])
     # The reference saves netG every generator iteration (reference :892);
     # checkpoint_every=1 reproduces that, default saves at sane intervals.
     checkpoint_every: int = 100

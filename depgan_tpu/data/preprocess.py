@@ -46,8 +46,16 @@ def map_to_intensity_range(
 
 def zscore_normalise(image: np.ndarray) -> np.ndarray:
     """Zero-mean / unit-variance over the whole array, NaNs zeroed
-    (reference `DEP-UResNet-wNoises-training-4fold.py:511-512`)."""
-    out = (image - np.mean(image)) / np.std(image)
+    (reference `DEP-UResNet-wNoises-training-4fold.py:511-512`).
+
+    Degenerate (constant / all-masked) volumes have zero std; the reference
+    silently produces NaNs that `nan_to_num` zeroes. Guard explicitly: the
+    result is all-zeros either way, but without the divide-by-zero
+    RuntimeWarning."""
+    std = np.std(image)
+    if std == 0:
+        return np.zeros_like(image, dtype=np.result_type(image, np.float32))
+    out = (image - np.mean(image)) / std
     return np.nan_to_num(out)
 
 

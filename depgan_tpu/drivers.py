@@ -72,9 +72,10 @@ def run_gan_training(
         if resume and ckpt.latest_step() is not None:
             state, counters, _ = ckpt.restore(state)
             print(f"resumed fold {fold} at gen_iteration {counters.gen_iterations}")
-        # Initial validation images (reference :772-773).
-        logger.log_images("val_img_Y1_IM", x_val[:8, ..., 0], counters.gen_iterations)
-        logger.log_images("val_img_Y2_IM", y_val[:8], counters.gen_iterations)
+        # Initial validation images (reference :772-773, [:50]).
+        k_img = train_cfg.n_val_images
+        logger.log_images("val_img_Y1_IM", x_val[:k_img, ..., 0], counters.gen_iterations)
+        logger.log_images("val_img_Y2_IM", y_val[:k_img], counters.gen_iterations)
 
         h5_path = Path(model_dir) / f"netG_{run_name}_fold{fold}.h5"
 
@@ -92,6 +93,67 @@ def run_gan_training(
         logger.close()
         states[fold] = state
     return states
+
+
+def run_gan_training_multifold(
+    model_cfg: ModelConfig,
+    train_cfg: GanTrainConfig,
+    data_cfg: DataConfig,
+    run_name: str = "depgan",
+    folds=(1, 2, 3, 4),
+    log_dir: str = "logdir",
+    model_dir: str = "models",
+    mesh=None,
+    use_tensorboard: bool = True,
+):
+    """Train ALL folds concurrently on a (fold, data) mesh — the folds share
+    nothing (reference runs them sequentially, :506), so they map onto
+    disjoint device groups in the wall-clock of one (train/multi_fold.py).
+
+    Scheduling note: counters are per-fold-synchronous (every fold follows
+    the fold-1 warm-up schedule), equivalent to
+    ``reset_counters_per_fold=True``.
+    """
+    from .parallel import make_mesh
+    from .train.multi_fold import MultiFoldGanTrainer, unstack_state
+
+    if mesh is None:
+        mesh = make_mesh(n_fold=len(folds))
+    trainer = MultiFoldGanTrainer(model_cfg, train_cfg, data_cfg, mesh)
+    Path(model_dir).mkdir(parents=True, exist_ok=True)
+
+    per_fold = []
+    for fold in folds:
+        x, y = dataset.load_gan_training_fold(data_cfg, fold)
+        x_tr, _, y_tr, _ = train_val_split(
+            x, y, data_cfg.val_fraction, data_cfg.split_seed
+        )
+        per_fold.append((x_tr, y_tr))
+
+    logger = (
+        Logger(Path(log_dir) / f"{run_name}_allfolds")
+        if use_tensorboard
+        else NullLogger()
+    )
+    states = trainer.init_states(jax.random.key(train_cfg.seed))
+    ckpt = CheckpointManager(Path(model_dir) / f"{run_name}_allfolds")
+
+    def checkpoint_fn(s, c):
+        ckpt.save(c.gen_iterations, s, c)
+
+    states, counters = trainer.fit(
+        states, per_fold, logger=logger, checkpoint_fn=checkpoint_fn
+    )
+    ckpt.save(counters.gen_iterations, states, counters)
+    ckpt.close()
+    logger.close()
+
+    out = {}
+    for i, fold in enumerate(folds):
+        state = unstack_state(states, i)
+        export_generator_h5(state, Path(model_dir) / f"netG_{run_name}_fold{fold}.h5")
+        out[fold] = state
+    return out
 
 
 def run_uresnet_training(

@@ -29,7 +29,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..config import DataConfig, GanTrainConfig, ModelConfig
 from ..data.pipeline import EpochShuffler
 from ..parallel.mesh import FOLD_AXIS
-from .gan_trainer import GanTrainer
+from ..utils.profiling import StepTimer
+from .gan_trainer import GanTrainer, log_superstep_metrics
 from .state import Counters
 
 
@@ -134,6 +135,7 @@ class MultiFoldGanTrainer:
         ]
         counters = Counters()
         log = logger.log_scalar if logger is not None else (lambda *a: None)
+        timer = StepTimer()
 
         for epoch in range(n_epochs):
             epochs_idx = [s.epoch() for s in shufflers]  # F x (nb, B)
@@ -151,9 +153,17 @@ class MultiFoldGanTrainer:
                     states, x_all, y_all, blocks, n_valid, sk
                 )
                 gi = counters.gen_iterations
-                errg = np.asarray(metrics["gen"]["errG"])  # (F,)
+                # Full reference tag set per fold (gan_trainer.py's stream,
+                # namespaced fold{k}/...) — same resolution as the
+                # sequential trainer.
                 for f in range(self.n_folds):
-                    log(f"fold{f + 1}/errG_losses", float(errg[f]), gi)
+                    metrics_f = jax.tree.map(lambda a: np.asarray(a)[f], metrics)
+                    log_superstep_metrics(
+                        log, metrics_f, counters, n_valid, prefix=f"fold{f + 1}/"
+                    )
+                timer.step()
+                if logger is not None and gi % 10 == 0:
+                    timer.log_to(logger, gi)
                 counters = counters.replace(
                     gen_iterations=gi + 1,
                     crit_iterations=counters.crit_iterations + n_valid,

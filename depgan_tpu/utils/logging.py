@@ -80,6 +80,33 @@ class Logger:
     def log_histogram(self, tag: str, values, step: int = 0, bins: int = 1000) -> None:
         self.writer.add_summary(tb.histogram_summary(tag, np.asarray(values), bins), step)
 
+    def log_graph(self, fn, example_args, max_nodes: int = 5000) -> None:
+        """TensorBoard graph tab (reference ``log_graph``,
+        `...twoCritics_training_4fold.py:174-175`, which dumps the TF1 graph).
+        The JAX equivalent: trace ``fn`` on ``example_args`` and encode its
+        jaxpr equations as GraphDef nodes (op = primitive name, edges =
+        value flow)."""
+        import jax
+
+        from jax.extend.core import Literal
+
+        jaxpr = jax.make_jaxpr(fn)(*example_args).jaxpr
+        names: dict = {}
+        nodes = []
+        for i, v in enumerate(jaxpr.invars):
+            names[v] = f"input_{i}"
+            nodes.append(tb.node_def(f"input_{i}", "Placeholder"))
+        for i, eqn in enumerate(jaxpr.eqns[:max_nodes]):
+            name = f"{eqn.primitive.name}_{i}"
+            inputs = [
+                names[v] for v in eqn.invars
+                if not isinstance(v, Literal) and v in names
+            ]
+            nodes.append(tb.node_def(name, eqn.primitive.name, inputs))
+            for o in eqn.outvars:
+                names[o] = name
+        self.writer.add_graph(tb.graph_def(nodes))
+
     def close(self) -> None:
         self.writer.close()
 
@@ -111,6 +138,9 @@ class NullLogger:
         pass
 
     def log_histogram(self, *a, **k):
+        pass
+
+    def log_graph(self, *a, **k):
         pass
 
     def close(self):

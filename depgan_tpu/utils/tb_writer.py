@@ -119,6 +119,25 @@ def _event(step: int | None = None, summary: bytes | None = None,
     return msg
 
 
+def node_def(name: str, op: str, inputs=()) -> bytes:
+    """NodeDef: 1 name, 2 op, 3 repeated input (tensorflow/graph.proto)."""
+    msg = pb_str(1, name) + pb_str(2, op)
+    for i in inputs:
+        msg += pb_str(3, i)
+    return msg
+
+
+def graph_def(nodes: list[bytes]) -> bytes:
+    """GraphDef: repeated 1 node."""
+    return b"".join(pb_bytes(1, n) for n in nodes)
+
+
+def graph_event(graph_def_bytes: bytes) -> bytes:
+    """Event carrying a serialized GraphDef (Event field 4), the record the
+    reference's ``log_graph`` emits (`...twoCritics_training_4fold.py:174-175`)."""
+    return pb_double(1, time.time()) + pb_bytes(4, graph_def_bytes)
+
+
 def scalar_summary(tag: str, value: float) -> bytes:
     val = pb_str(1, tag) + pb_float(2, float(value))
     return pb_bytes(1, val)
@@ -170,6 +189,9 @@ class EventWriter:
 
     def add_summary(self, summary: bytes, step: int) -> None:
         self._write_record(_event(step=step, summary=summary))
+
+    def add_graph(self, graph_def_bytes: bytes) -> None:
+        self._write_record(graph_event(graph_def_bytes))
 
     def close(self) -> None:
         self._f.close()

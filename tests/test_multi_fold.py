@@ -62,6 +62,49 @@ class TestMultiFold:
             b = np.asarray(jax.tree.leaves(getattr(states, attr))[0])
             assert np.max(np.abs(a - b)) > 0, attr
 
+    def test_fold_trajectory_identical_to_single_fold_trainer(self, trainer):
+        """Fidelity pin for the shard_map wrapper (VERDICT r1 item 8): the
+        same data + same key through ``GanTrainer.superstep`` and through
+        one fold of ``MultiFoldGanTrainer.superstep`` must produce the same
+        post-step params to fp tolerance."""
+        from depgan_tpu.train import GanTrainer
+
+        init_key = jax.random.key(7)
+        step_key = jax.random.key(8)
+        data = [fold_data(8, seed=20 + f) for f in range(4)]
+        x_all, y_all, n = trainer.stack_fold_data(data)
+        states = trainer.init_states(init_key)
+        blocks = np.stack(
+            [np.arange(8, dtype=np.int32).reshape(2, 4) for _ in range(4)]
+        )
+        states, metrics = trainer.superstep(states, x_all, y_all, blocks,
+                                            n_valid=2, key=step_key)
+
+        # Replay fold 2 through the plain single-fold trainer with the
+        # exact per-fold key/init-key the stacked trainer derived.
+        f = 2
+        single = GanTrainer(MODEL_CFG, GAN_CFG, DataConfig(), mesh=None)
+        s = single.init_state(jax.random.split(init_key, 4)[f])
+        s, m = single.superstep(
+            s, jnp.asarray(data[f][0][:n]), jnp.asarray(data[f][1][:n]),
+            blocks[f], n_valid=2, key=jax.random.split(step_key, 4)[f],
+        )
+
+        np.testing.assert_allclose(
+            float(m["gen"]["errG"]),
+            float(np.asarray(metrics["gen"]["errG"])[f]),
+            rtol=1e-5,
+        )
+        multi_f = unstack_state(states, f)
+        for attr in ("g_params", "dy2_params", "ddem_params"):
+            for a, b in zip(
+                jax.tree.leaves(getattr(s, attr)),
+                jax.tree.leaves(getattr(multi_f, attr)),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+                )
+
     def test_truncates_to_smallest_fold(self, trainer):
         data = [fold_data(10 + 2 * f, seed=f) for f in range(4)]
         x_all, y_all, n = trainer.stack_fold_data(data)

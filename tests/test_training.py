@@ -272,7 +272,9 @@ class TestUResNetTrainer:
         x = rng.normal(size=(16, SZ, SZ, 1)).astype(np.float32)
         labels = np.digitize(x, [0.0]).astype(np.int32)
         state = trainer.init_state(jax.random.key(0))
-        seen = {"loss": [], "val_loss": []}
+        from collections import defaultdict
+
+        seen = defaultdict(list)
 
         class Cap:
             def log_scalar(self, tag, v, step):
@@ -288,6 +290,8 @@ class TestUResNetTrainer:
         assert state.epoch == 2
         assert len(seen["loss"]) == 2 and len(seen["val_loss"]) == 2
         assert all(np.isfinite(v) for v in seen["loss"] + seen["val_loss"])
+        # profiling is wired (utils/profiling.StepTimer -> perf/* scalars)
+        assert len(seen["perf/steps_per_sec"]) == 2
         assert np.loadtxt(tmp_path / "loss.txt").shape == (2,)
         assert ckpts == [0, 1]  # checkpoint_every=1 (reference saves each epoch)
 
