@@ -194,6 +194,89 @@ def unpad_s2d(y: jnp.ndarray) -> jnp.ndarray:
     return y[:, 1:-1, 1:-1, :]
 
 
+def _deconv_concat_kernel(x_ref, w_ref, b_ref, skip_ref, o_ref, *,
+                          m: int, c: int, o_ch: int, cs: int):
+    """Fused decoder transition: padded s2d level-(L+1) decoder output
+    (1, M+2, M+2, 4C) -> Deconv2x2 (per-pixel matmul, kernel (C, 4O)) + ReLU
+    -> interleave into the level-L s2d layout -> channel-concat with the
+    level-L skip (1, N+2, N+2, 4Cs), N = 2M. Output: padded s2d concat
+    (1, N+2, N+2, 4(O+Cs)) with per-group [up, skip] channel order — exactly
+    what `conv3x3_s2d_fused` consumes, so consecutive Pallas decoder levels
+    never leave the s2d domain (replaces an unpad+d2s XLA relayout, the
+    deconv matmul, and the separate pad_concat kernel).
+
+    Level-L block (2i+p, 2j+q) is input pixel (i, j) of sub-pixel group
+    (p, q) pushed through the matmul — the nested-s2d identity. The (p, q)
+    interleave uses stack + contiguous reshape (Mosaic rejects strided
+    stores)."""
+    n = 2 * m
+    x = x_ref[0]
+    skip = skip_ref[0]
+    o_ref[...] = jnp.zeros_like(o_ref)
+    bias = b_ref[0]  # (4O,) — per-channel bias tiled over output sub-pixels
+    w = w_ref[...]   # (C, 4O), columns (sub-pixel group, channel)-major
+    interior = x[1 : m + 1, 1 : m + 1, :]
+    ys = []
+    for g in range(4):
+        xg = interior[:, :, g * c : (g + 1) * c].reshape(m * m, c)
+        yg = jnp.dot(xg, w, preferred_element_type=jnp.float32) + bias[None, :]
+        yg = jnp.maximum(yg, 0.0).astype(o_ref.dtype).reshape(m, m, 4 * o_ch)
+        ys.append(yg)
+    # cols: a_p[i, 2j+q] = Y_(p,q)[i, j]; rows: up[2i+p] = a_p[i]
+    a0 = jnp.stack([ys[0], ys[1]], axis=2).reshape(m, n, 4 * o_ch)
+    a1 = jnp.stack([ys[2], ys[3]], axis=2).reshape(m, n, 4 * o_ch)
+    up = jnp.stack([a0, a1], axis=1).reshape(n, n, 4 * o_ch)
+    cc = o_ch + cs
+    for g in range(4):
+        o_ref[0, 1 : n + 1, 1 : n + 1, g * cc : g * cc + o_ch] = up[
+            :, :, g * o_ch : (g + 1) * o_ch
+        ]
+        o_ref[0, :, :, g * cc + o_ch : (g + 1) * cc] = skip[
+            :, :, g * cs : (g + 1) * cs
+        ]
+
+
+def deconv_s2d_concat_pallas(
+    x_padded: jnp.ndarray,   # (B, M+2, M+2, 4C) — padded s2d at level L+1
+    w2: jnp.ndarray,         # (C, 4O) — Deconv2x2 kernel in matmul form
+    bias4: jnp.ndarray,      # (4O,) — bias tiled over the 4 sub-pixels
+    skip_padded: jnp.ndarray,  # (B, N+2, N+2, 4Cs), N = 2M
+) -> jnp.ndarray:
+    b, mp, _, c4 = x_padded.shape
+    m, c = mp - 2, c4 // 4
+    n = 2 * m
+    o4 = w2.shape[-1]
+    o_ch = o4 // 4
+    cs4 = skip_padded.shape[-1]
+    cs = cs4 // 4
+    out_c = o4 + cs4
+    dt = x_padded.dtype
+    return pl.pallas_call(
+        partial(_deconv_concat_kernel, m=m, c=c, o_ch=o_ch, cs=cs),
+        out_shape=jax.ShapeDtypeStruct((b, n + 2, n + 2, out_c), dt),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, mp, mp, c4), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec((1, n + 2, n + 2, cs4), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n + 2, n + 2, out_c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * m * m * 4 * c * o4,
+            bytes_accessed=x_padded.size * 2 + skip_padded.size * 2
+            + b * (n + 2) * (n + 2) * out_c * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x_padded, w2.astype(dt), bias4.reshape(1, o4).astype(jnp.float32),
+      skip_padded)
+
+
 def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
             n: int, c4: int, co4: int, strip: int, mode: str):
     """One batch element. x_ref (1, N+2, N+2, 4C); out_ref same spatial with

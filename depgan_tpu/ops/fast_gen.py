@@ -1,4 +1,4 @@
-"""FastGenerator — MXU-optimised inference forward for Gen_UNet2D.
+"""FastGenerator — MXU-optimised forward for Gen_UNet2D.
 
 Semantically identical to ``model.apply(vars, x, z, train=False)``
 (validated to ~1e-3 by tests/test_fast_gen.py) but restructured for TPU
@@ -11,12 +11,23 @@ execution:
   (ops/s2d_conv.py) as 2x2 convs over 128/256 channels (~128 TFLOPS);
 - max-pools in s2d collapse to channel-group maxes; Conv2DTranspose
   upsamples are the per-pixel matmul of models/blocks.Deconv2x2, emitting
-  the next level's s2d layout directly (the pixel-shuffle is free);
+  the next level's s2d layout directly (the pixel-shuffle is free); between
+  consecutive Pallas decoder levels the deconv+ReLU+skip-concat run as one
+  kernel (`deconv_s2d_concat_pallas`), so the decoder never leaves s2d;
 - compute in bfloat16, params float32, head in float32.
 
-Used by the ensemble predictor (eval/predict.py, ``fast=True``) and the
-benchmark. Training keeps the reference module (gradients need BN and
-dropout machinery); this path is inference-only by design.
+Two entry points:
+
+- ``FastGenerator`` (inference): folds/transforms the weights ONCE on the
+  host and jits the forward — used by the ensemble predictor
+  (eval/predict.py, ``fast=True``) and the benchmark.
+- ``FusedGenerator`` (the base spec): ``build_weights`` is pure jnp and
+  trace-safe, so a *training* step can rebuild the folded weights from live
+  parameters inside jit each superstep (they are a few MB; the fold is
+  negligible next to one conv) and run every no-gradient generator forward
+  (critic loops, best-of-k probe) through the fused path. Valid whenever
+  the generator's BN is frozen — the reference-faithful GAN mode
+  (train/gan_trainer.py, ``bn_mode='frozen'``).
 """
 
 from __future__ import annotations
@@ -50,10 +61,11 @@ def _deconv_matmul(x, kernel, bias):
     return y  # (B, h, w, 4O) == unshifted s2d of the (2h, 2w, O) output
 
 
-class FastGenerator:
-    """Precomputes transformed weights; exposes a jittable ``forward``."""
+class FusedGenerator:
+    """The fused-forward spec: static level configuration plus trace-safe
+    ``build_weights``/``forward``. Carries no parameters itself."""
 
-    def __init__(self, cfg: ModelConfig, variables: dict,
+    def __init__(self, cfg: ModelConfig,
                  s2d_levels: tuple[int, ...] = (),
                  pallas_levels: tuple[int, ...] = (),
                  compute_dtype=jnp.bfloat16):
@@ -68,12 +80,34 @@ class FastGenerator:
         self.pallas_encoder = True
         self.pallas_decoder = True
         self.dtype = compute_dtype
+        # Pallas kernels want >= 128 lanes; the entry conv's input channels
+        # (1 or 2) are zero-padded per s2d group up to this many channels.
+        self.entry_pad_cin = 32
+        # encoder levels: (site, conv_in, conv_out, level)
+        self.enc_spec = [
+            ("m1", "gen_0", "gen_1", 1),
+            ("m2", "gen_2", "gen_3", 2),
+            ("m3", "gen_4", "gen_5", 3),
+        ]
+        self.mid_spec = ("p4", "gen_8", "gen_9", 4)
+        self.dec_spec = [
+            ("p3", "gen_10", "gen_11", 3, "de_gen_9"),
+            ("p2", "gen_14", "gen_15", 2, "de_gen_11"),
+            ("p1", "gen_16", "gen_17", 1, "de_gen_15"),
+        ]
+
+    # ------------------------------------------------------------- weights
+
+    def build_weights(self, variables: dict) -> dict:
+        """Fold BN + apply the s2d kernel transforms; returns the flat
+        weight dict ``forward`` consumes. Pure jnp — safe (and
+        differentiable) under jit on live parameters."""
         folded = fold_batch_norms(variables)
-        p = jax.tree.map(np.asarray, folded["params"])
+        p = folded["params"]
         W: dict[str, jnp.ndarray] = {}
 
         def put(name, arr):
-            W[name] = jnp.asarray(np.asarray(arr), dtype=jnp.float32)
+            W[name] = jnp.asarray(arr, dtype=jnp.float32)
 
         # --- noise encoder ---
         enc = p["noise_encoder"]
@@ -95,10 +129,6 @@ class FastGenerator:
                 node = node[k]
             return node["kernel"], node["bias"]
 
-        # Pallas kernels want >= 128 lanes; the entry conv's input channels
-        # (1 or 2) are zero-padded per s2d group up to this many channels.
-        self.entry_pad_cin = 32
-
         def put_conv(tag, block, lname, level, pad_cin: int | None = None):
             if block.startswith("film_"):
                 # FilmSite nests its ConvBN one level deeper (models/film.py).
@@ -112,26 +142,16 @@ class FastGenerator:
                     put(f"{tag}/kernel_px", k)
                     put(f"{tag}/bias_px", b)
                 if pad_cin is not None and k.shape[2] < pad_cin:
-                    k = np.pad(k, ((0, 0), (0, 0), (0, pad_cin - k.shape[2]), (0, 0)))
-                k4, b4 = S.conv3x3_to_s2d_kernel(k, b)
+                    k = jnp.pad(
+                        k, ((0, 0), (0, 0), (0, pad_cin - k.shape[2]), (0, 0))
+                    )
+                k4, b4 = S.conv3x3_to_s2d_kernel_j(jnp.asarray(k), jnp.asarray(b))
                 put(f"{tag}/kernel", k4)
                 put(f"{tag}/bias", b4)
             else:
                 put(f"{tag}/kernel", k)
                 put(f"{tag}/bias", b)
 
-        # encoder levels: (site, conv_in, conv_out, level)
-        self.enc_spec = [
-            ("m1", "gen_0", "gen_1", 1),
-            ("m2", "gen_2", "gen_3", 2),
-            ("m3", "gen_4", "gen_5", 3),
-        ]
-        self.mid_spec = ("p4", "gen_8", "gen_9", 4)
-        self.dec_spec = [
-            ("p3", "gen_10", "gen_11", 3, "de_gen_9"),
-            ("p2", "gen_14", "gen_15", 2, "de_gen_11"),
-            ("p1", "gen_16", "gen_17", 1, "de_gen_15"),
-        ]
         for site, cin, cout, level in self.enc_spec + [self.mid_spec]:
             pad_cin = (
                 self.entry_pad_cin
@@ -151,7 +171,9 @@ class FastGenerator:
 
         seg = p["gen_segmentation"]
         if 1 in self.s2d_levels or 1 in self.pallas_levels:
-            k4, b4 = S.conv1x1_to_s2d_kernel(seg["kernel"], seg["bias"])
+            k4, b4 = S.conv1x1_to_s2d_kernel_j(
+                jnp.asarray(seg["kernel"]), jnp.asarray(seg["bias"])
+            )
             put("gen_segmentation/kernel", k4)
             put("gen_segmentation/bias", b4)
             put("gen_segmentation/kernel_px", seg["kernel"])
@@ -159,11 +181,9 @@ class FastGenerator:
         else:
             put("gen_segmentation/kernel", seg["kernel"])
             put("gen_segmentation/bias", seg["bias"])
+        return W
 
-        self.weights = W
-        self._jit_forward = jax.jit(self._forward)
-
-    # ------------------------------------------------------------------
+    # ------------------------------------------------------------- forward
 
     def _site_mods(self, W, z):
         """Noise pathway (reference :357-395): returns {site: (gamma, beta)}."""
@@ -233,12 +253,13 @@ class FastGenerator:
             h1 = jax.nn.relu(_conv(s, *kb(cout_name)))
         return h1
 
-    def _forward(self, W, x, z):
+    def forward(self, W, x, z):
         dt = self.dtype
         mods = self._site_mods(W, z.astype(jnp.float32))
         x = x.astype(dt)
 
         from .conv_s2d_pallas import (
+            deconv_s2d_concat_pallas,
             entry_pack,
             pad_concat_pallas,
             pad_s2d,
@@ -299,17 +320,31 @@ class FastGenerator:
                 return pad_s2d(t)
             return t
 
+        h_layout = "pixel"  # mid block output
         for site, cin, cout, level, deconv in self.dec_spec:
             s2d = level in self.s2d_levels
             k = W[f"{deconv}/kernel"].astype(dt)
             b = W[f"{deconv}/bias"].astype(dt)
-            up = jax.nn.relu(_deconv_matmul(h, k, b))  # unshifted s2d @ level
             if level in self.pallas_levels and self.pallas_decoder:
-                cat = pad_concat_pallas(up, skip_as(level, "padded"))
-                h = self._block_pallas(W, cat, site, cin, cout, mods)
-                if level > 1:
-                    h = S.d2s(unpad_s2d(h))
+                if h_layout == "padded":
+                    # Previous Pallas decoder level: fuse unpad + deconv +
+                    # relu + concat in one kernel, staying in s2d.
+                    cin_ch = k.shape[3]
+                    w2 = jnp.transpose(k, (3, 0, 1, 2)).reshape(cin_ch, -1)
+                    cat = deconv_s2d_concat_pallas(
+                        h, w2, jnp.tile(b, 4), skip_as(level, "padded")
+                    )
+                else:
+                    up = jax.nn.relu(_deconv_matmul(h, k, b))
+                    cat = pad_concat_pallas(up, skip_as(level, "padded"))
+                h, h_layout = self._block_pallas(W, cat, site, cin, cout, mods), "padded"
+                next_pallas = (level - 1) in self.pallas_levels and self.pallas_decoder
+                if level > 1 and not next_pallas:
+                    h, h_layout = S.d2s(unpad_s2d(h)), "pixel"
                 continue
+            if h_layout == "padded":
+                h, h_layout = S.d2s(unpad_s2d(h)), "pixel"
+            up = jax.nn.relu(_deconv_matmul(h, k, b))  # unshifted s2d @ level
             if s2d:
                 cat = S.concat_s2d(up, skip_as(level, "s2d"))
                 x_in = S.u2s(cat)
@@ -343,6 +378,24 @@ class FastGenerator:
         if self.cfg.n_out == 1:
             return jnp.tanh(logits)
         return jax.nn.softmax(logits, axis=-1)
+
+    # Backwards-compatible alias (benchmarks and older call sites).
+    _forward = forward
+
+
+class FastGenerator(FusedGenerator):
+    """Inference wrapper: precomputes the transformed weights once on the
+    host and exposes a jitted ``__call__``."""
+
+    def __init__(self, cfg: ModelConfig, variables: dict,
+                 s2d_levels: tuple[int, ...] = (),
+                 pallas_levels: tuple[int, ...] = (),
+                 compute_dtype=jnp.bfloat16):
+        super().__init__(cfg, s2d_levels=s2d_levels, pallas_levels=pallas_levels,
+                         compute_dtype=compute_dtype)
+        host_vars = jax.tree.map(np.asarray, variables)
+        self.weights = jax.tree.map(jnp.asarray, self.build_weights(host_vars))
+        self._jit_forward = jax.jit(self.forward)
 
     def __call__(self, x, z):
         return self._jit_forward(self.weights, x, z)

@@ -15,11 +15,18 @@ unchanged and outputs are bit-identical up to float rounding.
 
 Applies to every `conv2d_*`/`dense_*`/`deconv2d_*` + `bn_*`/`dense_bn_*`
 pair in the generator (models/blocks.py). The critic has no BN.
+
+The fold is pure jnp and therefore **trace-safe**: called inside a jitted
+training step on live parameters it stays differentiable, so gradients flow
+back to the raw conv kernel AND the BN scale/bias exactly as they do
+through the unfolded frozen-BN graph (the training-side fused path,
+ops/fast_gen.FusedGenerator, relies on this).
 """
 
 from __future__ import annotations
 
-import numpy as np
+import jax
+import jax.numpy as jnp
 
 from ..models.blocks import KERAS_BN_EPS
 
@@ -29,12 +36,6 @@ _PAIRS = (
     ("dense_", "dense_bn_"),
     ("deconv2d_", "bn_"),
 )
-
-
-def _walk(tree: dict, prefix=()):
-    for k, v in tree.items():
-        if isinstance(v, dict):
-            yield from _walk(v, prefix + (k,))
 
 
 def _find_layers(tree: dict, prefix=()):
@@ -57,10 +58,11 @@ def _get(tree, path):
 
 def fold_batch_norms(variables: dict, eps: float = KERAS_BN_EPS) -> dict:
     """Returns new variables with every conv+BN pair folded (copy)."""
-    import jax
-
-    params = jax.tree.map(np.asarray, variables["params"])
-    stats = jax.tree.map(np.asarray, variables.get("batch_stats", {}))
+    # tree.map rebuilds every container, so the in-place leaf swaps below
+    # never alias the caller's dicts; leaves pass through untouched (numpy
+    # arrays, jnp arrays, or tracers alike).
+    params = jax.tree.map(lambda a: a, variables["params"])
+    stats = jax.tree.map(lambda a: a, variables.get("batch_stats", {}))
 
     layers = list(_find_layers(params))
     by_parent: dict[tuple, dict[str, dict]] = {}
@@ -83,10 +85,11 @@ def fold_batch_norms(variables: dict, eps: float = KERAS_BN_EPS) -> dict:
                     continue
                 gamma, beta = bn["scale"], bn["bias"]
                 mean, var = bn_stats["mean"], bn_stats["var"]
-                s = gamma / np.sqrt(var + eps)
+                s = gamma / jnp.sqrt(var + eps)
 
-                kernel = leaves["kernel"]
-                bias = leaves.get("bias", np.zeros(s.shape, kernel.dtype))
+                kernel = jnp.asarray(leaves["kernel"])
+                bias = leaves.get("bias")
+                bias = jnp.zeros(s.shape, kernel.dtype) if bias is None else jnp.asarray(bias)
                 if name.startswith("deconv2d_"):
                     # Keras deconv layout (kh, kw, out, in): scale axis 2.
                     kernel = kernel * s[None, None, :, None]
@@ -95,13 +98,13 @@ def fold_batch_norms(variables: dict, eps: float = KERAS_BN_EPS) -> dict:
                     kernel = kernel * s
                 bias = (bias - mean) * s + beta
 
-                leaves["kernel"] = kernel.astype(np.float32)
-                leaves["bias"] = bias.astype(np.float32)
+                leaves["kernel"] = kernel.astype(jnp.float32)
+                leaves["bias"] = bias.astype(jnp.float32)
                 # Reset BN to exact identity: (x-0)/sqrt((1-eps)+eps)*1+0 = x.
-                bn["scale"] = np.ones_like(gamma)
-                bn["bias"] = np.zeros_like(beta)
-                bn_stats["mean"] = np.zeros_like(mean)
-                bn_stats["var"] = np.full_like(var, 1.0 - eps)
+                bn["scale"] = jnp.ones_like(gamma)
+                bn["bias"] = jnp.zeros_like(beta)
+                bn_stats["mean"] = jnp.zeros_like(mean)
+                bn_stats["var"] = jnp.full_like(var, 1.0 - eps)
 
     out = dict(variables)
     out["params"] = params

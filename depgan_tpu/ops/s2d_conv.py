@@ -141,6 +141,38 @@ def conv3x3_to_s2d_kernel(w: np.ndarray, bias: np.ndarray | None = None):
     return w4, bias4
 
 
+def conv3x3_to_s2d_kernel_j(w: jnp.ndarray, bias: jnp.ndarray | None = None):
+    """Trace-safe (pure-jnp, differentiable) twin of `conv3x3_to_s2d_kernel`
+    — used by the training-side fused path, where the pixel kernel is a live
+    parameter and the transform must sit inside the jitted step so gradients
+    flow back through it (the transform is linear, so its VJP is exact)."""
+    ci, co = w.shape[2], w.shape[3]
+    w4 = jnp.zeros((2, 2, 4 * ci, 4 * co), w.dtype)
+    for p in range(2):
+        for q in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    a, r = divmod(p + dy, 2)
+                    b_, s = divmod(q + dx, 2)
+                    ci_base = (r * 2 + s) * ci
+                    co_base = (p * 2 + q) * co
+                    w4 = w4.at[
+                        a, b_, ci_base : ci_base + ci, co_base : co_base + co
+                    ].add(w[dy, dx])
+    bias4 = None if bias is None else jnp.tile(bias, 4)
+    return w4, bias4
+
+
+def conv1x1_to_s2d_kernel_j(w: jnp.ndarray, bias: jnp.ndarray | None = None):
+    """Trace-safe twin of `conv1x1_to_s2d_kernel`."""
+    ci, co = w.shape[-2:]
+    w4 = jnp.zeros((1, 1, 4 * ci, 4 * co), w.dtype)
+    for k in range(4):
+        w4 = w4.at[0, 0, k * ci : (k + 1) * ci, k * co : (k + 1) * co].set(w[0, 0])
+    bias4 = None if bias is None else jnp.tile(bias, 4)
+    return w4, bias4
+
+
 def conv1x1_to_s2d_kernel(w: np.ndarray, bias: np.ndarray | None = None):
     """1x1 conv (1, 1, Ci, Co) -> block-diagonal s2d 1x1 (1, 1, 4Ci, 4Co)."""
     ci, co = w.shape[-2:]

@@ -62,9 +62,26 @@ def put_batch(arr, mesh: Mesh):
     return jax.device_put(arr, batch_sharding(mesh, np.ndim(arr)))
 
 
-def data_parallel(mesh: Mesh | None) -> bool:
-    """True when the mesh has a >1-way data axis to shard batches over."""
-    return mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1
+def data_parallel(mesh: Mesh | None, batch_size: int | None = None) -> bool:
+    """True when the mesh has a >1-way data axis to shard batches over.
+
+    When ``batch_size`` is given it must divide evenly over the data axis —
+    otherwise batch sharding is impossible and the trainer falls back to
+    replicated execution (correct, just not scaled) with a warning."""
+    n = mesh.shape.get(DATA_AXIS, 1) if mesh is not None else 1
+    if n <= 1:
+        return False
+    if batch_size is not None and batch_size % n != 0:
+        import warnings
+
+        warnings.warn(
+            f"batch_size={batch_size} is not divisible by the {n}-way "
+            f"'{DATA_AXIS}' mesh axis; falling back to replicated batches "
+            f"(no data parallelism). Use a batch size divisible by {n}.",
+            stacklevel=2,
+        )
+        return False
+    return True
 
 
 def constrain_batch(a, mesh: Mesh, axis: int = 0):

@@ -114,7 +114,7 @@ class GanTrainer:
         # Real data parallelism (SURVEY §2.7): batch leaves pinned to the
         # mesh's data axis inside the superstep; params stay replicated and
         # XLA inserts the gradient psum from the shardings alone.
-        self._data_parallel = meshlib.data_parallel(mesh)
+        self._data_parallel = meshlib.data_parallel(mesh, train_cfg.batch_size)
         self.gen = make_generator(model_cfg)
         self.critic = make_critic(model_cfg)
         self.tx_d = optax.adam(train_cfg.lr_d, b1=train_cfg.adam_b1, b2=train_cfg.adam_b2)
@@ -169,10 +169,34 @@ class GanTrainer:
         else:
             shard_b = lambda a, axis=0: a
 
-        def gen_forward(state, x, z):
+        # use_pallas + frozen BN: every *no-gradient* generator forward in
+        # the superstep (2 critic inner loops + the best-of-k probe — ~20 of
+        # the ~21 generator passes) runs through the fused folded-BN s2d
+        # path (ops/fast_gen.FusedGenerator). Folding is exact for frozen
+        # BN, and no gradient ever flows through these forwards (the critic
+        # losses differentiate critic params only; the probe picks an
+        # argmin), so training semantics are unchanged up to conv rounding.
+        # The generator's own update keeps the Flax graph (gradients).
+        use_fused = self.model_cfg.use_pallas and not batch_bn
+        if use_fused:
+            from ..ops.fast_gen import FusedGenerator
+
+            fused = FusedGenerator(
+                self.model_cfg, pallas_levels=(1, 2),
+                compute_dtype=jnp.dtype(self.model_cfg.compute_dtype),
+            )
+
+        def make_gen_forward(state):
             """G forward as seen by the critic graphs — Keras learning-phase
-            0 (frozen moving stats, no dropout), reference :533."""
-            return gen.apply(
+            0 (frozen moving stats, no dropout), reference :533. Built once
+            per superstep: the fused path folds the live params here so the
+            fold runs once, not per critic iteration."""
+            if use_fused:
+                W = fused.build_weights(
+                    {"params": state.g_params, "batch_stats": state.g_stats}
+                )
+                return lambda x, z: fused.forward(W, x, z)
+            return lambda x, z: gen.apply(
                 {"params": state.g_params, "batch_stats": state.g_stats},
                 x, z, train=False,
             )
@@ -181,6 +205,7 @@ class GanTrainer:
             B = idx.shape[1]
             noise_shape = (d_iters, B, self.model_cfg.noise_size, 1)
             k_ny2, k_ey2, k_ndem, k_edem, k_probe, k_drop = jax.random.split(key, 6)
+            gen_fwd = make_gen_forward(state)
             noises_y2 = shard_b(jax.random.normal(k_ny2, noise_shape), 1)
             eps_y2 = shard_b(jax.random.uniform(k_ey2, (d_iters, B, 1, 1, 1)), 1)
             noises_dem = shard_b(jax.random.normal(k_ndem, noise_shape), 1)
@@ -193,7 +218,7 @@ class GanTrainer:
                 x = shard_b(x_all[b_idx])
                 y2 = shard_b(y_all[b_idx])
                 y1 = x[..., :1]
-                fake_y2 = y1 + gen_forward(state, x, z)
+                fake_y2 = y1 + gen_fwd(x, z)
 
                 def loss_fn(p):
                     cf = lambda img: critic.apply({"params": p}, img)
@@ -221,7 +246,7 @@ class GanTrainer:
                 x = shard_b(x_all[b_idx])
                 y2 = shard_b(y_all[b_idx])
                 y1 = x[..., :1]
-                dem_fake = gen_forward(state, x, z)
+                dem_fake = gen_fwd(x, z)
                 dem_real = y2 - y1
 
                 def loss_fn(p):
@@ -269,7 +294,7 @@ class GanTrainer:
             # the core either way, but map keeps peak activation memory at
             # one forward instead of k (vmap OOMs at batch 64, k=10).
             def probe(z):
-                dem = gen_forward(state, x, z)
+                dem = gen_fwd(x, z)
                 loss, _ = generator_loss(
                     cfg, threshold, dem, y1, y2, crit_y2_fn, crit_dem_fn
                 )

@@ -55,7 +55,9 @@ class UResNetTrainer:
     def __post_init__(self):
         self.model = make_generator(self.model_cfg)
         self.tx = optax.adam(self.train_cfg.lr)
-        self._data_parallel = meshlib.data_parallel(self.mesh)
+        self._data_parallel = meshlib.data_parallel(
+            self.mesh, self.train_cfg.batch_size
+        )
         self._step = self._build_step()
         self._val_step = self._build_val_step()
 

@@ -30,7 +30,7 @@ def _randomized(cfg, seed=0):
 @pytest.mark.parametrize(
     "s2d_levels,pallas_levels",
     [((), ()), ((1,), ()), ((1, 2), ()), ((1, 2, 3), ()),
-     ((), (1,)), ((), (1, 2))],
+     ((), (1,)), ((), (1, 2)), ((), (1, 2, 3))],
 )
 def test_fast_matches_reference_tanh(s2d_levels, pallas_levels):
     cfg = ModelConfig(image_size=32, first_fm=8)

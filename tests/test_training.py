@@ -179,6 +179,43 @@ class TestGanSuperstep:
         d_part = jax.tree.leaves(s_part.dy2_params)[0]
         assert float(jnp.max(jnp.abs(d_full - d_part))) > 0
 
+    def test_fused_pallas_superstep_matches_flax(self):
+        """use_pallas=True (frozen BN) routes the no-gradient generator
+        forwards through the folded-BN fused s2d path; the trajectory must
+        match the plain Flax superstep to conv-rounding tolerance."""
+        import dataclasses
+
+        x, y = synth_gan_data()
+        x_all, y_all = jnp.asarray(x), jnp.asarray(y)
+        idx = np.arange(8, dtype=np.int32).reshape(2, 4)
+        k = jax.random.key(7)
+
+        results = []
+        for use_pallas in (False, True):
+            mcfg = dataclasses.replace(MODEL_CFG, use_pallas=use_pallas)
+            tr = GanTrainer(mcfg, GAN_CFG, DataConfig())
+            s0 = tr.init_state(jax.random.key(0))
+            s1, metrics = tr.superstep(s0, x_all, y_all, idx, n_valid=2, key=k)
+            results.append((s1, metrics))
+        (s_plain, m_plain), (s_fused, m_fused) = results
+
+        for tree_a, tree_b in (
+            (s_plain.g_params, s_fused.g_params),
+            (s_plain.dy2_params, s_fused.dy2_params),
+            (s_plain.ddem_params, s_fused.ddem_params),
+        ):
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=5e-3
+                ),
+                tree_a, tree_b,
+            )
+        np.testing.assert_allclose(
+            float(m_plain["gen"]["errG"]), float(m_fused["gen"]["errG"]),
+            rtol=0.05, atol=0.05,
+        )
+        assert int(m_plain["best_noise_idx"]) == int(m_fused["best_noise_idx"])
+
     def test_batch_bn_mode_updates_generator_stats(self):
         """bn_mode='batch': the generator update uses batch statistics and
         updates the moving stats (unlike the reference-faithful 'frozen')."""
