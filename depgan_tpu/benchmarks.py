@@ -83,9 +83,11 @@ def gen_inference_bench(n_scan: int = 8, batch: int = 64) -> dict:
 
 
 def gan_step_bench(batch: int = 16, d_iters: int = 5, k_noise: int = 10,
-                   image_size: int = 256) -> dict:
+                   image_size: int = 256, use_pallas: bool = False) -> dict:
     """Wall time of one jitted two-critic superstep (D critic updates per
-    critic + best-of-k probe + generator update), bf16 trunk."""
+    critic + best-of-k probe + generator update), bf16 trunk.
+    ``use_pallas`` routes all generator passes (critic loops, probe, and
+    the generator's own gradient) through the fused folded-BN s2d path."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -97,7 +99,7 @@ def gan_step_bench(batch: int = 16, d_iters: int = 5, k_noise: int = 10,
 
     model_cfg = ModelConfig(
         image_size=image_size, first_fm=32, n_input_channels=1,
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", use_pallas=use_pallas,
     )
     train_cfg = GanTrainConfig(
         batch_size=batch, d_iters=d_iters, warmup_d_iters=d_iters,

@@ -67,6 +67,15 @@ def _pool_kernel(x_ref, o_ref, *, n: int, c: int):
     )
 
 
+def _pool_ref(x_padded: jnp.ndarray) -> jnp.ndarray:
+    """XLA twin of the pool kernel (used for its VJP)."""
+    interior = x_padded[:, 1:-1, 1:-1, :]
+    b, n, _, c4 = interior.shape
+    c = c4 // 4
+    return jnp.max(interior.reshape(b, n, n, 4, c), axis=3)
+
+
+@jax.custom_vjp
 def pool_s2d_pallas(x_padded: jnp.ndarray) -> jnp.ndarray:
     b, p_dim, _, c4 = x_padded.shape
     n, c = p_dim - 2, c4 // 4
@@ -81,6 +90,18 @@ def pool_s2d_pallas(x_padded: jnp.ndarray) -> jnp.ndarray:
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x_padded)
+
+
+def _pool_fwd(x_padded):
+    return pool_s2d_pallas(x_padded), x_padded
+
+
+def _pool_bwd(x_padded, g):
+    _, vjp = jax.vjp(_pool_ref, x_padded)
+    return vjp(g)
+
+
+pool_s2d_pallas.defvjp(_pool_fwd, _pool_bwd)
 
 
 def entry_pack(x: jnp.ndarray, c_pad: int = 32) -> jnp.ndarray:
@@ -134,6 +155,7 @@ def _pool_to_s2d_kernel(x_ref, o_ref, *, n: int, c: int):
             o_ref[0, 1 : n2 + 1, 1 : n2 + 1, dst * c : (dst + 1) * c] = blk
 
 
+@jax.custom_vjp
 def pool_to_s2d_pallas(x_padded: jnp.ndarray) -> jnp.ndarray:
     b, p_dim, _, c4 = x_padded.shape
     n, c = p_dim - 2, c4 // 4
@@ -149,6 +171,26 @@ def pool_to_s2d_pallas(x_padded: jnp.ndarray) -> jnp.ndarray:
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x_padded)
+
+
+def _pool_to_s2d_ref(x_padded: jnp.ndarray) -> jnp.ndarray:
+    """XLA twin of pool_to_s2d (pool then relayout to next-level padded
+    s2d) — used for its VJP."""
+    from . import s2d_conv as S
+
+    return pad_s2d(S.s2d_unshifted(_pool_ref(x_padded)))
+
+
+def _pool_to_s2d_fwd(x_padded):
+    return pool_to_s2d_pallas(x_padded), x_padded
+
+
+def _pool_to_s2d_bwd(x_padded, g):
+    _, vjp = jax.vjp(_pool_to_s2d_ref, x_padded)
+    return vjp(g)
+
+
+pool_to_s2d_pallas.defvjp(_pool_to_s2d_fwd, _pool_to_s2d_bwd)
 
 
 def _padcat_kernel(up_ref, skip_ref, o_ref, *, n: int, c1: int, c2: int):
@@ -168,6 +210,7 @@ def _padcat_kernel(up_ref, skip_ref, o_ref, *, n: int, c1: int, c2: int):
         ]
 
 
+@jax.custom_vjp
 def pad_concat_pallas(up: jnp.ndarray, skip_padded: jnp.ndarray) -> jnp.ndarray:
     b, n, _, c14 = up.shape
     p_dim = n + 2
@@ -188,6 +231,28 @@ def pad_concat_pallas(up: jnp.ndarray, skip_padded: jnp.ndarray) -> jnp.ndarray:
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(up, skip_padded)
+
+
+def _padcat_fwd(up, skip_padded):
+    return pad_concat_pallas(up, skip_padded), (up.shape[-1] // 4,
+                                                skip_padded.shape[-1] // 4)
+
+
+def _padcat_bwd(res, g):
+    """The op is a pure (linear) relayout — the backward is exact slicing."""
+    c1, c2 = res
+    cc = c1 + c2
+    gi = g[:, 1:-1, 1:-1, :]
+    dup = jnp.concatenate(
+        [gi[..., k * cc : k * cc + c1] for k in range(4)], axis=-1
+    )
+    dskip = jnp.concatenate(
+        [g[..., k * cc + c1 : (k + 1) * cc] for k in range(4)], axis=-1
+    )
+    return dup, dskip
+
+
+pad_concat_pallas.defvjp(_padcat_fwd, _padcat_bwd)
 
 
 def unpad_s2d(y: jnp.ndarray) -> jnp.ndarray:
@@ -236,6 +301,33 @@ def _deconv_concat_kernel(x_ref, w_ref, b_ref, skip_ref, o_ref, *,
         ]
 
 
+def _deconv_concat_ref(x_padded, w2, bias4, skip_padded):
+    """XLA twin of deconv_s2d_concat (used for its VJP and tests)."""
+    b, mp, _, c4 = x_padded.shape
+    m, c = mp - 2, c4 // 4
+    o4 = w2.shape[-1]
+    cs = skip_padded.shape[-1] // 4
+    o_ch = o4 // 4
+    interior = x_padded[:, 1 : m + 1, 1 : m + 1, :]
+    ys = [
+        jax.nn.relu(
+            jnp.dot(interior[..., g * c : (g + 1) * c], w2.astype(x_padded.dtype))
+            + bias4.reshape(-1).astype(x_padded.dtype)
+        )
+        for g in range(4)
+    ]
+    a0 = jnp.stack([ys[0], ys[1]], axis=3).reshape(b, m, 2 * m, o4)
+    a1 = jnp.stack([ys[2], ys[3]], axis=3).reshape(b, m, 2 * m, o4)
+    up = jnp.stack([a0, a1], axis=2).reshape(b, 2 * m, 2 * m, o4)
+    up_p = jnp.pad(up, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    parts = []
+    for gp in range(4):
+        parts.append(up_p[..., gp * o_ch : (gp + 1) * o_ch])
+        parts.append(skip_padded[..., gp * cs : (gp + 1) * cs])
+    return jnp.concatenate(parts, axis=-1)
+
+
+@jax.custom_vjp
 def deconv_s2d_concat_pallas(
     x_padded: jnp.ndarray,   # (B, M+2, M+2, 4C) — padded s2d at level L+1
     w2: jnp.ndarray,         # (C, 4O) — Deconv2x2 kernel in matmul form
@@ -275,6 +367,20 @@ def deconv_s2d_concat_pallas(
         interpret=_interpret(),
     )(x_padded, w2.astype(dt), bias4.reshape(1, o4).astype(jnp.float32),
       skip_padded)
+
+
+def _deconv_concat_fwd(x_padded, w2, bias4, skip_padded):
+    out = deconv_s2d_concat_pallas(x_padded, w2, bias4, skip_padded)
+    return out, (x_padded, w2, bias4, skip_padded)
+
+
+def _deconv_concat_bwd(res, g):
+    x_padded, w2, bias4, skip_padded = res
+    _, vjp = jax.vjp(_deconv_concat_ref, x_padded, w2, bias4, skip_padded)
+    return vjp(g)
+
+
+deconv_s2d_concat_pallas.defvjp(_deconv_concat_fwd, _deconv_concat_bwd)
 
 
 def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
@@ -338,7 +444,148 @@ def conv3x3_s2d_fused(
     mode: str = "relu",
     strip: int = 8,
 ) -> jnp.ndarray:
-    """Fused s2d conv; returns padded unshifted s2d (B, N+2, N+2, 4Co)."""
+    """Fused s2d conv; returns padded unshifted s2d (B, N+2, N+2, 4Co).
+
+    Differentiable: a custom VJP (below) backpropagates with the same
+    Pallas kernel (dX is the flip-transposed conv) plus MXU einsums for dW,
+    so the fused path can run inside the generator's own gradient step."""
+    b = x_padded.shape[0]
+    c4 = x_padded.shape[-1]
+    if gamma4 is None:
+        gamma4 = jnp.zeros((b, c4), jnp.float32)
+        beta4 = jnp.zeros((b, c4), jnp.float32)
+    return _conv3x3_s2d_vjp(x_padded, w4, bias4, gamma4, beta4, mode, strip)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _conv3x3_s2d_vjp(x_padded, w4, bias4, gamma4, beta4, mode, strip):
+    return _conv3x3_s2d_impl(x_padded, w4, bias4, gamma4, beta4, mode, strip)
+
+
+def _flip_transpose_w4(w4: jnp.ndarray) -> jnp.ndarray:
+    """s2d kernel of the transpose conv: recover the pixel 3x3 kernel from
+    w4 (each pixel tap is stored verbatim in the (p,q)=(0,0) output block /
+    the matching input block — the transform's slices, inverted), flip it
+    spatially, swap I/O, re-transform. All slicing + one re-transform: the
+    map is linear, exact, and cheap (runs on (3,3,C,Co) weights)."""
+    from . import s2d_conv as S
+
+    c4, co4 = w4.shape[2], w4.shape[3]
+    ci, co = c4 // 4, co4 // 4
+    taps = []
+    for dy in range(3):
+        row = []
+        for dx in range(3):
+            a, r = divmod(dy, 2)   # (p, q) = (0, 0)
+            b_, s = divmod(dx, 2)
+            row.append(
+                w4[a, b_, (r * 2 + s) * ci : (r * 2 + s + 1) * ci, 0:co]
+            )
+        taps.append(row)
+    w_px = jnp.stack([jnp.stack(row, axis=0) for row in taps], axis=0)
+    # transpose conv kernel: flip spatially, swap in/out channels
+    w_bwd = jnp.flip(w_px, axis=(0, 1)).transpose(0, 1, 3, 2)
+    w4_bwd, _ = S.conv3x3_to_s2d_kernel_j(w_bwd)
+    return w4_bwd
+
+
+def _zero_ring(g: jnp.ndarray) -> jnp.ndarray:
+    """Drop cotangents on the padded border ring (the forward writes
+    constant zeros there, so they carry no gradient)."""
+    return jnp.pad(g[:, 1:-1, 1:-1, :], ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+def _conv3x3_s2d_fwd(x_padded, w4, bias4, gamma4, beta4, mode, strip):
+    out = _conv3x3_s2d_impl(x_padded, w4, bias4, gamma4, beta4, mode, strip)
+    return out, (x_padded, w4, bias4, gamma4, beta4, out)
+
+
+def _conv3x3_s2d_bwd(mode, strip, res, g):
+    x_padded, w4, bias4, gamma4, beta4, out = res
+    b, p_dim, _, c4 = x_padded.shape
+    n = p_dim - 2
+    co4 = w4.shape[-1]
+    f32 = jnp.float32
+
+    g = _zero_ring(g)
+    if mode == "relu":
+        # y = relu(conv + b): ring of `out` is 0 -> masked automatically.
+        dpre = jnp.where(out > 0, g, 0.0).astype(f32)
+        dgamma = jnp.zeros_like(gamma4)
+        dbeta = jnp.zeros_like(beta4)
+        dx_extra = None
+    elif mode == "film":
+        # y = x + relu(gamma*(conv+b) + beta). mask from (y - x) > 0; the
+        # pre-modulation activation c0 is recomputed with one 'none'-mode
+        # kernel pass (cheaper than storing a second full tensor).
+        mask = (out - x_padded) > 0
+        gm = jnp.where(mask, g, 0.0).astype(f32)
+        c0 = _conv3x3_s2d_impl(
+            x_padded, w4, bias4, jnp.zeros_like(gamma4),
+            jnp.zeros_like(beta4), "none", strip,
+        ).astype(f32)
+        gb = gamma4.astype(f32)[:, None, None, :]
+        dpre = gm * gb
+        dgamma = jnp.sum(gm * c0, axis=(1, 2)).astype(gamma4.dtype)
+        dbeta = jnp.sum(gm, axis=(1, 2)).astype(beta4.dtype)
+        dx_extra = g  # identity (residual trunk) path
+    else:  # none
+        dpre = g.astype(f32)
+        dgamma = jnp.zeros_like(gamma4)
+        dbeta = jnp.zeros_like(beta4)
+        dx_extra = None
+
+    dpre = dpre.astype(x_padded.dtype)
+    # dX: transpose conv through the same fused kernel (mode='none',
+    # zero bias); emits the padded layout with a zero ring — exactly the
+    # cotangent x_padded expects.
+    w4_bwd = _flip_transpose_w4(w4)
+    dx = _conv3x3_s2d_impl(
+        dpre, w4_bwd, jnp.zeros((c4,), f32),
+        jnp.zeros((b, co4), f32), jnp.zeros((b, co4), f32), "none", strip,
+    )
+    if dx_extra is not None:
+        dx = dx + dx_extra
+    dx = dx.astype(x_padded.dtype)
+
+    # dW4[A,B][(p,q)C+c, o] = sum_b,oi,oj x_pad[b, oi+A+p, oj+B+q,
+    # (1-p,1-q)C+c] * dpre[b, oi+1, oj+1, o] — 16 MXU einsums (same FLOPs
+    # as one forward conv, the standard dW cost).
+    c = c4 // 4
+    dint = dpre[:, 1:-1, 1:-1, :]
+    xf = x_padded
+    dw4 = jnp.zeros(w4.shape, f32)
+    for A in range(2):
+        for B_ in range(2):
+            for p in range(2):
+                for q in range(2):
+                    src = ((1 - p) * 2 + (1 - q)) * c
+                    xs = xf[:, A + p : A + p + n, B_ + q : B_ + q + n,
+                            src : src + c]
+                    blk = jnp.einsum(
+                        "bijc,bijo->co", xs, dint,
+                        preferred_element_type=f32,
+                    )
+                    dw4 = dw4.at[
+                        A, B_, (p * 2 + q) * c : (p * 2 + q + 1) * c, :
+                    ].set(blk)
+    dbias = jnp.sum(dint, axis=(0, 1, 2)).astype(jnp.asarray(bias4).dtype)
+    return (dx, dw4.astype(w4.dtype), dbias, dgamma, dbeta)
+
+
+_conv3x3_s2d_vjp.defvjp(_conv3x3_s2d_fwd, _conv3x3_s2d_bwd)
+
+
+def _conv3x3_s2d_impl(
+    x_padded: jnp.ndarray,  # (B, N+2, N+2, 4C)
+    w4: jnp.ndarray,  # (2, 2, 4C, 4Co)
+    bias4: jnp.ndarray,  # (4Co,)
+    gamma4: jnp.ndarray,  # (B, 4C) — film mode
+    beta4: jnp.ndarray,
+    mode: str = "relu",
+    strip: int = 8,
+) -> jnp.ndarray:
+    """Kernel dispatch (no VJP); returns padded unshifted s2d."""
     b, p_dim, _, c4 = x_padded.shape
     n = p_dim - 2
     co4 = w4.shape[-1]

@@ -312,6 +312,14 @@ class GanTrainer:
                         rngs={"dropout": k_drop}, mutable=["batch_stats"],
                     )
                     new_stats = ups["batch_stats"]
+                elif use_fused:
+                    # Differentiates through the in-jit BN fold + s2d kernel
+                    # transforms + fused Pallas kernels (custom VJPs,
+                    # ops/conv_s2d_pallas.py) — gradient parity vs the Flax
+                    # graph is pinned by tests/test_fused_grad.py.
+                    Wg = fused.build_weights(variables)
+                    dem = fused.forward(Wg, x, z_best)
+                    new_stats = state.g_stats
                 else:
                     dem = gen.apply(variables, x, z_best, train=False)
                     new_stats = state.g_stats
