@@ -193,82 +193,18 @@ def _pool_to_s2d_bwd(x_padded, g):
 pool_to_s2d_pallas.defvjp(_pool_to_s2d_fwd, _pool_to_s2d_bwd)
 
 
-def _padcat_kernel(up_ref, skip_ref, o_ref, *, n: int, c1: int, c2: int):
-    """Unshifted s2d up (1, N, N, 4C1) + padded s2d skip (1, N+2, N+2, 4C2)
-    -> padded s2d concat (1, N+2, N+2, 4(C1+C2)), channels interleaved per
-    sub-pixel group in [up, skip] order (reference decoder concat)."""
-    up = up_ref[0]
-    skip = skip_ref[0]
-    o_ref[...] = jnp.zeros_like(o_ref)
-    cc = c1 + c2
-    for g in range(4):
-        o_ref[0, 1 : n + 1, 1 : n + 1, g * cc : g * cc + c1] = up[
-            :, :, g * c1 : (g + 1) * c1
-        ]
-        o_ref[0, :, :, g * cc + c1 : (g + 1) * cc] = skip[
-            :, :, g * c2 : (g + 1) * c2
-        ]
-
-
-@jax.custom_vjp
-def pad_concat_pallas(up: jnp.ndarray, skip_padded: jnp.ndarray) -> jnp.ndarray:
-    b, n, _, c14 = up.shape
-    p_dim = n + 2
-    c24 = skip_padded.shape[-1]
-    c1, c2 = c14 // 4, c24 // 4
-    return pl.pallas_call(
-        partial(_padcat_kernel, n=n, c1=c1, c2=c2),
-        out_shape=jax.ShapeDtypeStruct((b, p_dim, p_dim, c14 + c24), up.dtype),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, n, n, c14), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p_dim, p_dim, c24), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, p_dim, p_dim, c14 + c24), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=_interpret(),
-    )(up, skip_padded)
-
-
-def _padcat_fwd(up, skip_padded):
-    return pad_concat_pallas(up, skip_padded), (up.shape[-1] // 4,
-                                                skip_padded.shape[-1] // 4)
-
-
-def _padcat_bwd(res, g):
-    """The op is a pure (linear) relayout — the backward is exact slicing."""
-    c1, c2 = res
-    cc = c1 + c2
-    gi = g[:, 1:-1, 1:-1, :]
-    dup = jnp.concatenate(
-        [gi[..., k * cc : k * cc + c1] for k in range(4)], axis=-1
-    )
-    dskip = jnp.concatenate(
-        [g[..., k * cc + c1 : (k + 1) * cc] for k in range(4)], axis=-1
-    )
-    return dup, dskip
-
-
-pad_concat_pallas.defvjp(_padcat_fwd, _padcat_bwd)
-
-
 def unpad_s2d(y: jnp.ndarray) -> jnp.ndarray:
     return y[:, 1:-1, 1:-1, :]
 
 
-def _deconv_concat_kernel(x_ref, w_ref, b_ref, skip_ref, o_ref, *,
-                          m: int, c: int, o_ch: int, cs: int):
-    """Fused decoder transition: padded s2d level-(L+1) decoder output
+def _deconv_kernel(x_ref, w_ref, b_ref, o_ref, *, m: int, c: int, o_ch: int):
+    """Decoder upsample: padded s2d level-(L+1) decoder output
     (1, M+2, M+2, 4C) -> Deconv2x2 (per-pixel matmul, kernel (C, 4O)) + ReLU
-    -> interleave into the level-L s2d layout -> channel-concat with the
-    level-L skip (1, N+2, N+2, 4Cs), N = 2M. Output: padded s2d concat
-    (1, N+2, N+2, 4(O+Cs)) with per-group [up, skip] channel order — exactly
-    what `conv3x3_s2d_fused` consumes, so consecutive Pallas decoder levels
-    never leave the s2d domain (replaces an unpad+d2s XLA relayout, the
-    deconv matmul, and the separate pad_concat kernel).
+    -> interleaved into the level-L padded s2d layout (1, N+2, N+2, 4O),
+    N = 2M, zero ring. Output lanes are a whole s2d tensor (4O channels),
+    so every store is lane-aligned — the skip concat is NOT materialised;
+    the following conv reads up and skip as two operands
+    (`conv3x3_s2d_fused2`) with the kernel rows split accordingly.
 
     Level-L block (2i+p, 2j+q) is input pixel (i, j) of sub-pixel group
     (p, q) pushed through the matmul — the nested-s2d identity. The (p, q)
@@ -276,7 +212,6 @@ def _deconv_concat_kernel(x_ref, w_ref, b_ref, skip_ref, o_ref, *,
     stores)."""
     n = 2 * m
     x = x_ref[0]
-    skip = skip_ref[0]
     o_ref[...] = jnp.zeros_like(o_ref)
     bias = b_ref[0]  # (4O,) — per-channel bias tiled over output sub-pixels
     w = w_ref[...]   # (C, 4O), columns (sub-pixel group, channel)-major
@@ -291,23 +226,14 @@ def _deconv_concat_kernel(x_ref, w_ref, b_ref, skip_ref, o_ref, *,
     a0 = jnp.stack([ys[0], ys[1]], axis=2).reshape(m, n, 4 * o_ch)
     a1 = jnp.stack([ys[2], ys[3]], axis=2).reshape(m, n, 4 * o_ch)
     up = jnp.stack([a0, a1], axis=1).reshape(n, n, 4 * o_ch)
-    cc = o_ch + cs
-    for g in range(4):
-        o_ref[0, 1 : n + 1, 1 : n + 1, g * cc : g * cc + o_ch] = up[
-            :, :, g * o_ch : (g + 1) * o_ch
-        ]
-        o_ref[0, :, :, g * cc + o_ch : (g + 1) * cc] = skip[
-            :, :, g * cs : (g + 1) * cs
-        ]
+    o_ref[0, 1 : n + 1, 1 : n + 1, :] = up
 
 
-def _deconv_concat_ref(x_padded, w2, bias4, skip_padded):
-    """XLA twin of deconv_s2d_concat (used for its VJP and tests)."""
+def _deconv_ref(x_padded, w2, bias4):
+    """XLA twin of deconv_s2d_pallas (used for its VJP and tests)."""
     b, mp, _, c4 = x_padded.shape
     m, c = mp - 2, c4 // 4
     o4 = w2.shape[-1]
-    cs = skip_padded.shape[-1] // 4
-    o_ch = o4 // 4
     interior = x_padded[:, 1 : m + 1, 1 : m + 1, :]
     ys = [
         jax.nn.relu(
@@ -319,68 +245,56 @@ def _deconv_concat_ref(x_padded, w2, bias4, skip_padded):
     a0 = jnp.stack([ys[0], ys[1]], axis=3).reshape(b, m, 2 * m, o4)
     a1 = jnp.stack([ys[2], ys[3]], axis=3).reshape(b, m, 2 * m, o4)
     up = jnp.stack([a0, a1], axis=2).reshape(b, 2 * m, 2 * m, o4)
-    up_p = jnp.pad(up, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    parts = []
-    for gp in range(4):
-        parts.append(up_p[..., gp * o_ch : (gp + 1) * o_ch])
-        parts.append(skip_padded[..., gp * cs : (gp + 1) * cs])
-    return jnp.concatenate(parts, axis=-1)
+    return jnp.pad(up, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
 @jax.custom_vjp
-def deconv_s2d_concat_pallas(
-    x_padded: jnp.ndarray,   # (B, M+2, M+2, 4C) — padded s2d at level L+1
-    w2: jnp.ndarray,         # (C, 4O) — Deconv2x2 kernel in matmul form
-    bias4: jnp.ndarray,      # (4O,) — bias tiled over the 4 sub-pixels
-    skip_padded: jnp.ndarray,  # (B, N+2, N+2, 4Cs), N = 2M
+def deconv_s2d_pallas(
+    x_padded: jnp.ndarray,  # (B, M+2, M+2, 4C) — padded s2d at level L+1
+    w2: jnp.ndarray,        # (C, 4O) — Deconv2x2 kernel in matmul form
+    bias4: jnp.ndarray,     # (4O,) — bias tiled over the 4 sub-pixels
 ) -> jnp.ndarray:
     b, mp, _, c4 = x_padded.shape
     m, c = mp - 2, c4 // 4
     n = 2 * m
     o4 = w2.shape[-1]
     o_ch = o4 // 4
-    cs4 = skip_padded.shape[-1]
-    cs = cs4 // 4
-    out_c = o4 + cs4
     dt = x_padded.dtype
     return pl.pallas_call(
-        partial(_deconv_concat_kernel, m=m, c=c, o_ch=o_ch, cs=cs),
-        out_shape=jax.ShapeDtypeStruct((b, n + 2, n + 2, out_c), dt),
+        partial(_deconv_kernel, m=m, c=c, o_ch=o_ch),
+        out_shape=jax.ShapeDtypeStruct((b, n + 2, n + 2, o4), dt),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, mp, mp, c4), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w2, whole
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
-            pl.BlockSpec((1, n + 2, n + 2, cs4), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n + 2, n + 2, out_c), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, n + 2, n + 2, o4), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * m * m * 4 * c * o4,
-            bytes_accessed=x_padded.size * 2 + skip_padded.size * 2
-            + b * (n + 2) * (n + 2) * out_c * 2,
+            bytes_accessed=x_padded.size * 2
+            + b * (n + 2) * (n + 2) * o4 * 2,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(x_padded, w2.astype(dt), bias4.reshape(1, o4).astype(jnp.float32),
-      skip_padded)
+    )(x_padded, w2.astype(dt), bias4.reshape(1, o4).astype(jnp.float32))
 
 
-def _deconv_concat_fwd(x_padded, w2, bias4, skip_padded):
-    out = deconv_s2d_concat_pallas(x_padded, w2, bias4, skip_padded)
-    return out, (x_padded, w2, bias4, skip_padded)
+def _deconv_fwd(x_padded, w2, bias4):
+    out = deconv_s2d_pallas(x_padded, w2, bias4)
+    return out, (x_padded, w2, bias4)
 
 
-def _deconv_concat_bwd(res, g):
-    x_padded, w2, bias4, skip_padded = res
-    _, vjp = jax.vjp(_deconv_concat_ref, x_padded, w2, bias4, skip_padded)
+def _deconv_bwd(res, g):
+    x_padded, w2, bias4 = res
+    _, vjp = jax.vjp(_deconv_ref, x_padded, w2, bias4)
     return vjp(g)
 
 
-deconv_s2d_concat_pallas.defvjp(_deconv_concat_fwd, _deconv_concat_bwd)
+deconv_s2d_pallas.defvjp(_deconv_fwd, _deconv_bwd)
 
 
 def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
@@ -548,20 +462,30 @@ def _conv3x3_s2d_bwd(mode, strip, res, g):
         dx = dx + dx_extra
     dx = dx.astype(x_padded.dtype)
 
-    # dW4[A,B][(p,q)C+c, o] = sum_b,oi,oj x_pad[b, oi+A+p, oj+B+q,
-    # (1-p,1-q)C+c] * dpre[b, oi+1, oj+1, o] — 16 MXU einsums (same FLOPs
-    # as one forward conv, the standard dW cost).
+    dw4 = _dw4_einsums(x_padded, dpre, n).astype(w4.dtype)
+    dbias = jnp.sum(dpre[:, 1:-1, 1:-1, :], axis=(0, 1, 2)).astype(
+        jnp.asarray(bias4).dtype
+    )
+    return (dx, dw4, dbias, dgamma, dbeta)
+
+
+def _dw4_einsums(x_padded, dpre, n):
+    """dW4[A,B][(p,q)C+c, o] = sum_b,oi,oj x_pad[b, oi+A+p, oj+B+q,
+    (1-p,1-q)C+c] * dpre[b, oi+1, oj+1, o] — 16 MXU einsums (same FLOPs as
+    one forward conv, the standard dW cost)."""
+    f32 = jnp.float32
+    c4 = x_padded.shape[-1]
+    co4 = dpre.shape[-1]
     c = c4 // 4
     dint = dpre[:, 1:-1, 1:-1, :]
-    xf = x_padded
-    dw4 = jnp.zeros(w4.shape, f32)
+    dw4 = jnp.zeros((2, 2, c4, co4), f32)
     for A in range(2):
         for B_ in range(2):
             for p in range(2):
                 for q in range(2):
                     src = ((1 - p) * 2 + (1 - q)) * c
-                    xs = xf[:, A + p : A + p + n, B_ + q : B_ + q + n,
-                            src : src + c]
+                    xs = x_padded[:, A + p : A + p + n, B_ + q : B_ + q + n,
+                                  src : src + c]
                     blk = jnp.einsum(
                         "bijc,bijo->co", xs, dint,
                         preferred_element_type=f32,
@@ -569,8 +493,7 @@ def _conv3x3_s2d_bwd(mode, strip, res, g):
                     dw4 = dw4.at[
                         A, B_, (p * 2 + q) * c : (p * 2 + q + 1) * c, :
                     ].set(blk)
-    dbias = jnp.sum(dint, axis=(0, 1, 2)).astype(jnp.asarray(bias4).dtype)
-    return (dx, dw4.astype(w4.dtype), dbias, dgamma, dbeta)
+    return dw4
 
 
 _conv3x3_s2d_vjp.defvjp(_conv3x3_s2d_fwd, _conv3x3_s2d_bwd)
@@ -632,3 +555,148 @@ def _conv3x3_s2d_impl(
         ),
         interpret=_interpret(),
     )(x_padded, w_flat, bias, gamma, beta)
+
+
+# ---------------------------------------------------------------------------
+# Two-operand fused conv — the decoder's first conv without materialising the
+# skip concat. conv(concat(a, b), W) == conv(a, W_rows_a) + conv(b, W_rows_b),
+# so the kernel stages both operands and accumulates 8 matmuls; the 5-7 ms
+# concat relayout the old path paid at level 1 (misaligned per-group channel
+# stores over a 12 MB buffer — measured, docs/PERF.md round-2 bisection)
+# disappears entirely.
+# ---------------------------------------------------------------------------
+
+
+def _kernel2(x1_ref, x2_ref, w1_ref, w2_ref, b_ref, out_ref, u1, u2, *,
+             n: int, c4a: int, c4b: int, co4: int, strip: int):
+    ca, cb = c4a // 4, c4b // 4
+    x1 = x1_ref[0]
+    x2 = x2_ref[0]
+    out_ref[...] = jnp.zeros_like(out_ref)
+    bias = b_ref[0]
+
+    n_strips = n // strip
+    for s_i in range(n_strips):
+        j0 = s_i * strip
+        for p in range(2):
+            for q in range(2):
+                src = (1 - p) * 2 + (1 - q)
+                dst = p * 2 + q
+                u1[:, :, dst * ca : (dst + 1) * ca] = x1[
+                    j0 + p : j0 + p + strip + 1, q : q + n + 1,
+                    src * ca : (src + 1) * ca,
+                ]
+                u2[:, :, dst * cb : (dst + 1) * cb] = x2[
+                    j0 + p : j0 + p + strip + 1, q : q + n + 1,
+                    src * cb : (src + 1) * cb,
+                ]
+
+        acc = jnp.zeros((strip * n, co4), jnp.float32)
+        for A in range(2):
+            for B in range(2):
+                v1 = u1[A : A + strip, B : B + n, :].reshape(strip * n, c4a)
+                v2 = u2[A : A + strip, B : B + n, :].reshape(strip * n, c4b)
+                acc = acc + jnp.dot(v1, w1_ref[A * 2 + B],
+                                    preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(v2, w2_ref[A * 2 + B],
+                                    preferred_element_type=jnp.float32)
+        y = jnp.maximum(acc + bias[None, :], 0.0)
+        out_ref[0, j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :] = y.reshape(
+            strip, n, co4
+        ).astype(out_ref.dtype)
+
+
+def conv3x3_s2d_fused2(
+    x1_padded: jnp.ndarray,  # (B, N+2, N+2, 4C1)
+    x2_padded: jnp.ndarray,  # (B, N+2, N+2, 4C2)
+    w4_1: jnp.ndarray,  # (2, 2, 4C1, 4Co)
+    w4_2: jnp.ndarray,  # (2, 2, 4C2, 4Co)
+    bias4: jnp.ndarray,  # (4Co,)
+    strip: int = 8,
+) -> jnp.ndarray:
+    """relu(conv(x1, w1) + conv(x2, w2) + b) — padded s2d in and out."""
+    return _conv2_vjp(x1_padded, x2_padded, w4_1, w4_2, bias4, strip)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _conv2_vjp(x1_padded, x2_padded, w4_1, w4_2, bias4, strip):
+    return _conv2_impl(x1_padded, x2_padded, w4_1, w4_2, bias4, strip)
+
+
+def _conv2_impl(x1_padded, x2_padded, w4_1, w4_2, bias4, strip):
+    b, p_dim, _, c4a = x1_padded.shape
+    c4b = x2_padded.shape[-1]
+    n = p_dim - 2
+    co4 = w4_1.shape[-1]
+    while n % strip != 0:
+        strip //= 2
+    dt = x1_padded.dtype
+    w1 = w4_1.reshape(4, c4a, co4).astype(dt)
+    w2 = w4_2.reshape(4, c4b, co4).astype(dt)
+    bias = bias4.reshape(1, co4).astype(jnp.float32)
+    kernel = partial(_kernel2, n=n, c4a=c4a, c4b=c4b, co4=co4, strip=strip)
+    flops = 2 * b * n * n * 4 * (c4a + c4b) * co4
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, p_dim, p_dim, co4), dt),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, p_dim, p_dim, c4a), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p_dim, p_dim, c4b), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p_dim, p_dim, co4), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((strip + 1, n + 1, c4a), dt),
+            pltpu.VMEM((strip + 1, n + 1, c4b), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x1_padded.size * 2 + x2_padded.size * 2
+            + b * p_dim * p_dim * co4 * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x1_padded, x2_padded, w1, w2, bias)
+
+
+def _conv2_fwd(x1, x2, w4_1, w4_2, bias4, strip):
+    out = _conv2_impl(x1, x2, w4_1, w4_2, bias4, strip)
+    return out, (x1, x2, w4_1, w4_2, bias4, out)
+
+
+def _conv2_bwd(strip, res, g):
+    x1, x2, w4_1, w4_2, bias4, out = res
+    b = x1.shape[0]
+    n = x1.shape[1] - 2
+    co4 = w4_1.shape[-1]
+    f32 = jnp.float32
+
+    g = _zero_ring(g)
+    dpre = jnp.where(out > 0, g, 0.0).astype(x1.dtype)
+
+    def dx_for(w4, c4):
+        return _conv3x3_s2d_impl(
+            dpre, _flip_transpose_w4(w4), jnp.zeros((c4,), f32),
+            jnp.zeros((b, co4), f32), jnp.zeros((b, co4), f32), "none", strip,
+        ).astype(x1.dtype)
+
+    dx1 = dx_for(w4_1, x1.shape[-1])
+    dx2 = dx_for(w4_2, x2.shape[-1])
+    dw1 = _dw4_einsums(x1, dpre.astype(f32), n).astype(w4_1.dtype)
+    dw2 = _dw4_einsums(x2, dpre.astype(f32), n).astype(w4_2.dtype)
+    dbias = jnp.sum(dpre[:, 1:-1, 1:-1, :].astype(f32), axis=(0, 1, 2)).astype(
+        jnp.asarray(bias4).dtype
+    )
+    return (dx1, dx2, dw1, dw2, dbias)
+
+
+_conv2_vjp.defvjp(_conv2_fwd, _conv2_bwd)

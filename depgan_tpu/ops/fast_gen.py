@@ -12,8 +12,10 @@ execution:
 - max-pools in s2d collapse to channel-group maxes; Conv2DTranspose
   upsamples are the per-pixel matmul of models/blocks.Deconv2x2, emitting
   the next level's s2d layout directly (the pixel-shuffle is free); between
-  consecutive Pallas decoder levels the deconv+ReLU+skip-concat run as one
-  kernel (`deconv_s2d_concat_pallas`), so the decoder never leaves s2d;
+  consecutive Pallas decoder levels the deconv+ReLU runs as one kernel
+  (`deconv_s2d_pallas`), and the skip concat is never materialised — the
+  first decoder conv consumes (up, skip) as two operands
+  (`conv3x3_s2d_fused2`), so the decoder never leaves s2d;
 - compute in bfloat16, params float32, head in float32.
 
 Two entry points:
@@ -80,6 +82,9 @@ class FusedGenerator:
         self.pallas_encoder = True
         self.pallas_decoder = True
         self.dtype = compute_dtype
+        # Row-strip size of the fused conv kernels (perf knob; kernels halve
+        # it until it divides the level's block count).
+        self.strip = 8
         # Pallas kernels want >= 128 lanes; the entry conv's input channels
         # (1 or 2) are zero-padded per s2d group up to this many channels.
         self.entry_pad_cin = 32
@@ -110,17 +115,31 @@ class FusedGenerator:
             W[name] = jnp.asarray(arr, dtype=jnp.float32)
 
         # --- noise encoder ---
+        # The 14 per-site FiLM denses all consume the same flattened noise
+        # encoding, so they collapse into ONE matmul (the separate 32-128
+        # column matmuls cost ~3.3 ms of pure dispatch overhead on the real
+        # chip — measured, docs/PERF.md round-2 bisection). Column layout:
+        # [mul, add] per site in SITES_IN_ORDER; offsets in _site_slices.
         enc = p["noise_encoder"]
         for name in ("noise_1_add_f0", "noise_1_add_f1"):
             d = enc[name][f"block_{name}"][f"dense_{name}"]
             put(f"{name}/kernel", d["kernel"])
             put(f"{name}/bias", d["bias"])
+        site_ks, site_bs, slices, off = [], [], {}, 0
         for site in SITES_IN_ORDER:
+            pair = []
             for kind in ("mul", "add"):
                 lname = f"noise_2_{kind}" if site == "p4" else f"noise_2_{kind}_{site}"
                 d = enc[lname][f"dense_{lname}"]
-                put(f"{lname}/kernel", d["kernel"])
-                put(f"{lname}/bias", d["bias"])
+                site_ks.append(jnp.asarray(d["kernel"]))
+                site_bs.append(jnp.asarray(d["bias"]))
+                width = site_ks[-1].shape[-1]
+                pair.append((off, off + width))
+                off += width
+            slices[site] = pair
+        put("site_mods/kernel", jnp.concatenate(site_ks, axis=-1))
+        put("site_mods/bias", jnp.concatenate(site_bs, axis=-1))
+        self._site_slices = slices
 
         # --- conv trunk ---
         def conv_leaf(*path):
@@ -129,7 +148,8 @@ class FusedGenerator:
                 node = node[k]
             return node["kernel"], node["bias"]
 
-        def put_conv(tag, block, lname, level, pad_cin: int | None = None):
+        def put_conv(tag, block, lname, level, pad_cin: int | None = None,
+                     split_cup: int | None = None):
             if block.startswith("film_"):
                 # FilmSite nests its ConvBN one level deeper (models/film.py).
                 k, b = conv_leaf(block, lname.replace("conv2d_", "block_"), lname)
@@ -141,6 +161,20 @@ class FusedGenerator:
                     # switches (plain _block falls back to these).
                     put(f"{tag}/kernel_px", k)
                     put(f"{tag}/bias_px", b)
+                    if split_cup is not None:
+                        # Decoder-entry conv: the concat is never
+                        # materialised — conv(concat(up, skip), W) runs as a
+                        # two-operand kernel with the rows split here.
+                        k4u, b4 = S.conv3x3_to_s2d_kernel_j(
+                            jnp.asarray(k[:, :, :split_cup, :]), jnp.asarray(b)
+                        )
+                        k4s, _ = S.conv3x3_to_s2d_kernel_j(
+                            jnp.asarray(k[:, :, split_cup:, :])
+                        )
+                        put(f"{tag}/kernel_up", k4u)
+                        put(f"{tag}/kernel_skip", k4s)
+                        put(f"{tag}/bias", b4)
+                        return
                 if pad_cin is not None and k.shape[2] < pad_cin:
                     k = jnp.pad(
                         k, ((0, 0), (0, 0), (0, pad_cin - k.shape[2]), (0, 0))
@@ -162,12 +196,14 @@ class FusedGenerator:
             put_conv(f"noise_{site}", f"film_{site}", f"conv2d_gen_noise_{site}", level)
             put_conv(cout, f"block_{cout}", f"conv2d_{cout}", level)
         for site, cin, cout, level, deconv in self.dec_spec:
-            put_conv(cin, f"block_{cin}", f"conv2d_{cin}", level)
-            put_conv(f"noise_{site}", f"film_{site}", f"conv2d_gen_noise_{site}", level)
-            put_conv(cout, f"block_{cout}", f"conv2d_{cout}", level)
             d = p[f"block_{deconv}"][f"deconv2d_{deconv}"]
             put(f"{deconv}/kernel", d["kernel"])
             put(f"{deconv}/bias", d["bias"])
+            cup = d["kernel"].shape[2]  # deconv output channels = up width
+            put_conv(cin, f"block_{cin}", f"conv2d_{cin}", level,
+                     split_cup=cup if level in self.pallas_levels else None)
+            put_conv(f"noise_{site}", f"film_{site}", f"conv2d_gen_noise_{site}", level)
+            put_conv(cout, f"block_{cout}", f"conv2d_{cout}", level)
 
         seg = p["gen_segmentation"]
         if 1 in self.s2d_levels or 1 in self.pallas_levels:
@@ -186,18 +222,17 @@ class FusedGenerator:
     # ------------------------------------------------------------- forward
 
     def _site_mods(self, W, z):
-        """Noise pathway (reference :357-395): returns {site: (gamma, beta)}."""
+        """Noise pathway (reference :357-395): returns {site: (gamma, beta)}.
+        All 14 site denses run as one matmul (see build_weights)."""
         h = z
         for name in ("noise_1_add_f0", "noise_1_add_f1"):
             h = jax.nn.relu(h @ W[f"{name}/kernel"] + W[f"{name}/bias"])
         h = h.reshape(h.shape[0], -1)
+        all_mods = h @ W["site_mods/kernel"] + W["site_mods/bias"]
         mods = {}
         for site in SITES_IN_ORDER:
-            mn = "noise_2_mul" if site == "p4" else f"noise_2_mul_{site}"
-            an = "noise_2_add" if site == "p4" else f"noise_2_add_{site}"
-            gamma = h @ W[f"{mn}/kernel"] + W[f"{mn}/bias"]
-            beta = h @ W[f"{an}/kernel"] + W[f"{an}/bias"]
-            mods[site] = (gamma, beta)
+            (m0, m1), (a0, a1) = self._site_slices[site]
+            mods[site] = (all_mods[:, m0:m1], all_mods[:, a0:a1])
         return mods
 
     def _film(self, hn, gamma, beta, s2d: bool):
@@ -215,16 +250,41 @@ class FusedGenerator:
         gamma, beta = mods[site]
         h0 = conv3x3_s2d_fused(
             x_padded, W[f"{cin_name}/kernel"].astype(dt), W[f"{cin_name}/bias"],
-            mode="relu",
+            mode="relu", strip=self.strip,
         )
         site_out = conv3x3_s2d_fused(
             h0, W[f"noise_{site}/kernel"].astype(dt), W[f"noise_{site}/bias"],
             S.tile_channel_params(gamma), S.tile_channel_params(beta),
-            mode="film",
+            mode="film", strip=self.strip,
         )
         h1 = conv3x3_s2d_fused(
             site_out, W[f"{cout_name}/kernel"].astype(dt), W[f"{cout_name}/bias"],
-            mode="relu",
+            mode="relu", strip=self.strip,
+        )
+        return h1
+
+    def _block_pallas2(self, W, up, skip, site, cin_name, cout_name, mods):
+        """Decoder site chain: the first conv consumes (up, skip) as two
+        operands (conv3x3_s2d_fused2) so the skip concat never exists in
+        HBM; then FiLM + conv as in _block_pallas."""
+        from .conv_s2d_pallas import conv3x3_s2d_fused, conv3x3_s2d_fused2
+
+        dt = self.dtype
+        gamma, beta = mods[site]
+        h0 = conv3x3_s2d_fused2(
+            up, skip,
+            W[f"{cin_name}/kernel_up"].astype(dt),
+            W[f"{cin_name}/kernel_skip"].astype(dt),
+            W[f"{cin_name}/bias"], strip=self.strip,
+        )
+        site_out = conv3x3_s2d_fused(
+            h0, W[f"noise_{site}/kernel"].astype(dt), W[f"noise_{site}/bias"],
+            S.tile_channel_params(gamma), S.tile_channel_params(beta),
+            mode="film", strip=self.strip,
+        )
+        h1 = conv3x3_s2d_fused(
+            site_out, W[f"{cout_name}/kernel"].astype(dt), W[f"{cout_name}/bias"],
+            mode="relu", strip=self.strip,
         )
         return h1
 
@@ -259,9 +319,8 @@ class FusedGenerator:
         x = x.astype(dt)
 
         from .conv_s2d_pallas import (
-            deconv_s2d_concat_pallas,
+            deconv_s2d_pallas,
             entry_pack,
-            pad_concat_pallas,
             pad_s2d,
             pool_s2d_pallas,
             pool_to_s2d_pallas,
@@ -327,17 +386,16 @@ class FusedGenerator:
             b = W[f"{deconv}/bias"].astype(dt)
             if level in self.pallas_levels and self.pallas_decoder:
                 if h_layout == "padded":
-                    # Previous Pallas decoder level: fuse unpad + deconv +
-                    # relu + concat in one kernel, staying in s2d.
+                    # Previous Pallas decoder level: deconv + relu straight
+                    # from (and back to) padded s2d in one kernel.
                     cin_ch = k.shape[3]
                     w2 = jnp.transpose(k, (3, 0, 1, 2)).reshape(cin_ch, -1)
-                    cat = deconv_s2d_concat_pallas(
-                        h, w2, jnp.tile(b, 4), skip_as(level, "padded")
-                    )
+                    up = deconv_s2d_pallas(h, w2, jnp.tile(b, 4))
                 else:
-                    up = jax.nn.relu(_deconv_matmul(h, k, b))
-                    cat = pad_concat_pallas(up, skip_as(level, "padded"))
-                h, h_layout = self._block_pallas(W, cat, site, cin, cout, mods), "padded"
+                    up = pad_s2d(jax.nn.relu(_deconv_matmul(h, k, b)))
+                h, h_layout = self._block_pallas2(
+                    W, up, skip_as(level, "padded"), site, cin, cout, mods
+                ), "padded"
                 next_pallas = (level - 1) in self.pallas_levels and self.pallas_decoder
                 if level > 1 and not next_pallas:
                     h, h_layout = S.d2s(unpad_s2d(h)), "pixel"

@@ -14,9 +14,9 @@ import pytest
 from depgan_tpu.ops import s2d_conv as S
 from depgan_tpu.ops.conv_s2d_pallas import (
     conv3x3_s2d_fused,
-    deconv_s2d_concat_pallas,
-    _deconv_concat_ref,
-    pad_concat_pallas,
+    conv3x3_s2d_fused2,
+    deconv_s2d_pallas,
+    _deconv_ref,
     pad_s2d,
     pool_s2d_pallas,
     pool_to_s2d_pallas,
@@ -119,54 +119,77 @@ class TestRelayoutVjps:
         gr = jax.grad(lambda x: jnp.sum(ref(x) * r))(x)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-6)
 
-    def test_pad_concat_grad(self):
-        up = rand(14, (B, N, N, 4 * C))
-        skip = padded_s2d(15, c4=4 * 3)
-
-        def ref(up, skip):
-            ur = up.reshape(B, N, N, 4, C)
-            sr = skip[:, 1:-1, 1:-1, :].reshape(B, N, N, 4, 3)
-            cat = jnp.concatenate([ur, sr], axis=-1).reshape(B, N, N, 4 * (C + 3))
-            return pad_s2d(cat)
-
-        r = rand(16, (B, N + 2, N + 2, 4 * (C + 3)))
-        np.testing.assert_allclose(
-            np.asarray(pad_concat_pallas(up, skip)[:, 1:-1, 1:-1, :]),
-            np.asarray(ref(up, skip)[:, 1:-1, 1:-1, :]), atol=1e-6,
-        )
-        gf = jax.grad(
-            lambda u, s: jnp.sum(pad_concat_pallas(u, s) * r), argnums=(0, 1)
-        )(up, skip)
-        gr = jax.grad(
-            lambda u, s: jnp.sum(ref(u, s) * r), argnums=(0, 1)
-        )(up, skip)
-        np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]), atol=1e-6)
-        # The pallas op also stores the skip's border ring (the ref twin
-        # zeroes it); interior cotangents must agree and the pallas op must
-        # additionally pass the ring cotangent through.
-        np.testing.assert_allclose(
-            np.asarray(gf[1][:, 1:-1, 1:-1, :]),
-            np.asarray(gr[1][:, 1:-1, 1:-1, :]), atol=1e-6,
-        )
-
-    def test_deconv_concat_grad(self):
+    def test_deconv_grad(self):
         m = N // 2
         x = pad_s2d(rand(20, (B, m, m, 4 * C)))
         w2 = 0.3 * rand(21, (C, 4 * 3))
         b4 = 0.1 * rand(22, (4 * 3,))
-        skip = padded_s2d(23, c4=4 * 2)
-        out = deconv_s2d_concat_pallas(x, w2, b4, skip)
-        ref_out = _deconv_concat_ref(x, w2, b4, skip)
+        out = deconv_s2d_pallas(x, w2, b4)
+        ref_out = _deconv_ref(x, w2, b4)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
         r = rand(24, out.shape)
         gf = jax.grad(
-            lambda *a: jnp.sum(deconv_s2d_concat_pallas(*a) * r), argnums=(0, 1, 2, 3)
-        )(x, w2, b4, skip)
+            lambda *a: jnp.sum(deconv_s2d_pallas(*a) * r), argnums=(0, 1, 2)
+        )(x, w2, b4)
         gr = jax.grad(
-            lambda *a: jnp.sum(_deconv_concat_ref(*a) * r), argnums=(0, 1, 2, 3)
-        )(x, w2, b4, skip)
+            lambda *a: jnp.sum(_deconv_ref(*a) * r), argnums=(0, 1, 2)
+        )(x, w2, b4)
         for a, b_ in zip(gf, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+    def test_two_operand_conv_matches_concat_conv(self):
+        """conv3x3_s2d_fused2(up, skip, W_up, W_skip) == relu-conv of the
+        materialised concat — values and gradients."""
+        c_up, c_skip, co = 3, 2, 5
+        w_px = 0.2 * np.asarray(rand(31, (3, 3, c_up + c_skip, co)))
+        w4u, _ = S.conv3x3_to_s2d_kernel(w_px[:, :, :c_up, :])
+        w4s, _ = S.conv3x3_to_s2d_kernel(w_px[:, :, c_up:, :])
+        b4 = 0.1 * rand(32, (4 * co,))
+        up = padded_s2d(33, c4=4 * c_up)
+        skip = padded_s2d(34, c4=4 * c_skip)
+        r = rand(35, (B, N + 2, N + 2, 4 * co))
+
+        def ref(up, skip, w4u, w4s, b4):
+            # concat per sub-pixel group, then the single-operand reference
+            ur = unpad_s2d(up).reshape(B, N, N, 4, c_up)
+            sr = unpad_s2d(skip).reshape(B, N, N, 4, c_skip)
+            cat = pad_s2d(
+                jnp.concatenate([ur, sr], axis=-1).reshape(
+                    B, N, N, 4 * (c_up + c_skip)
+                )
+            )
+            w4, _ = S.conv3x3_to_s2d_kernel(w_px)
+            return conv_ref(cat, jnp.asarray(w4), b4, None, None, "relu")
+
+        out = conv3x3_s2d_fused2(up, skip, jnp.asarray(w4u), jnp.asarray(w4s), b4)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref(up, skip, None, None, b4)), atol=1e-5
+        )
+
+        def loss_fused(up, skip, w4u, w4s, b4):
+            return jnp.sum(conv3x3_s2d_fused2(up, skip, w4u, w4s, b4) * r)
+
+        def loss_ref(up, skip, w4u, w4s, b4):
+            return jnp.sum(ref(up, skip, w4u, w4s, b4) * r)
+
+        args = (up, skip, jnp.asarray(w4u), jnp.asarray(w4s), b4)
+        gf = jax.grad(loss_fused, argnums=(0, 1, 4))(*args)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 4))(*args)
+        for a, b_, name in zip(gf, gr, ("dup", "dskip", "dbias")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-4, err_msg=name
+            )
+        # weight grads against jax.vjp of the two-operand XLA composition
+        def ref2(up, skip, w4u, w4s, b4):
+            xs1 = S.u2s(unpad_s2d(up))
+            xs2 = S.u2s(unpad_s2d(skip))
+            pre = S.conv2x2_s2d(xs1, w4u) + S.conv2x2_s2d(xs2, w4s) + b4
+            return pad_s2d(jax.nn.relu(pre))
+
+        gfw = jax.grad(loss_fused, argnums=(2, 3))(*args)
+        grw = jax.grad(lambda *a: jnp.sum(ref2(*a) * r), argnums=(2, 3))(*args)
+        for a, b_ in zip(gfw, grw):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
 
 
 class TestFusedGeneratorGrad:
