@@ -700,3 +700,163 @@ def _conv2_bwd(strip, res, g):
 
 
 _conv2_vjp.defvjp(_conv2_fwd, _conv2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dense 3x3-tap s2d conv — the 5x5 pixel conv on the padded unshifted
+# layout. A SAME 5x5 conv at (2N, 2N, C) is exactly a 3x3-tap conv at
+# (N, N, 4C) with the transformed kernel of
+# s2d_conv.conv5x5_to_s2d_kernel_j — and, unlike the 3x3 case, with NO
+# channel-group permutation, so the taps are direct sub-reads of the padded
+# plane and no staging scratch is needed at all. Built for the critic's
+# conv5x5(16)x2 / conv5x5(32)x2 trunk (reference
+# `...twoCritics_training_4fold.py:319-325`), whose 16-32 channel pixel
+# convs starve the MXU exactly like the generator's did.
+# ---------------------------------------------------------------------------
+
+
+def _kernel5(x_ref, w_ref, b_ref, out_ref, *, n: int, c4: int, co4: int,
+             strip: int, mode: str):
+    """One batch element: x (1, N+2, N+2, 4C) padded unshifted s2d;
+    w_ref (9, 4C, 4Co) in (A*3+B) tap order; out (1, N+2, N+2, 4Co)."""
+    x = x_ref[0]
+    out_ref[...] = jnp.zeros_like(out_ref)
+    bias = b_ref[0]
+    n_strips = n // strip
+    for s_i in range(n_strips):
+        j0 = s_i * strip
+        acc = jnp.zeros((strip * n, co4), jnp.float32)
+        for A in range(3):
+            for B in range(3):
+                v = x[j0 + A : j0 + A + strip, B : B + n, :].reshape(
+                    strip * n, c4
+                )
+                acc = acc + jnp.dot(v, w_ref[A * 3 + B],
+                                    preferred_element_type=jnp.float32)
+        y = acc + bias[None, :]
+        if mode == "relu":
+            y = jnp.maximum(y, 0.0)
+        out_ref[0, j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :] = y.reshape(
+            strip, n, co4
+        ).astype(out_ref.dtype)
+
+
+def conv5x5_s2d_fused(
+    x_padded: jnp.ndarray,  # (B, N+2, N+2, 4C) padded unshifted s2d
+    w5: jnp.ndarray,        # (5, 5, C, Co) pixel-domain HWIO kernel
+    bias: jnp.ndarray,      # (Co,)
+    mode: str = "relu",
+    strip: int = 8,
+) -> jnp.ndarray:
+    """relu(conv5x5_SAME(x, w5) + b) in padded s2d, differentiable.
+
+    Takes the live pixel kernel: the (linear) s2d transform runs inside, so
+    the custom VJP returns pixel-kernel cotangents and the op drops
+    straight into the critic's training graph (including the WGAN-GP
+    double-backward: the backward pass is built from this same op plus
+    einsums, all differentiable)."""
+    return _conv5_vjp(x_padded, w5, bias, mode, strip)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv5_vjp(x_padded, w5, bias, mode, strip):
+    return _conv5_impl(x_padded, w5, bias, mode, strip)
+
+
+def _conv5_impl(x_padded, w5, bias, mode, strip):
+    from . import s2d_conv as S
+
+    b, p_dim, _, c4 = x_padded.shape
+    n = p_dim - 2
+    co4 = 4 * w5.shape[-1]
+    while n % strip != 0:
+        strip //= 2
+    dt = x_padded.dtype
+    w9, bias4 = S.conv5x5_to_s2d_kernel_j(w5, bias)
+    w9 = w9.reshape(9, c4, co4).astype(dt)
+    return pl.pallas_call(
+        partial(_kernel5, n=n, c4=c4, co4=co4, strip=strip, mode=mode),
+        out_shape=jax.ShapeDtypeStruct((b, p_dim, p_dim, co4), dt),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, p_dim, p_dim, c4), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p_dim, p_dim, co4), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * n * 9 * c4 * co4,
+            bytes_accessed=x_padded.size * 2 + b * p_dim * p_dim * co4 * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x_padded, w9, bias4.reshape(1, co4).astype(jnp.float32))
+
+
+def _conv5_fwd(x_padded, w5, bias, mode, strip):
+    out = _conv5_impl(x_padded, w5, bias, mode, strip)
+    return out, (x_padded, w5, bias, out)
+
+
+def _conv5_bwd(mode, strip, res, g):
+    from . import s2d_conv as S
+
+    x_padded, w5, bias, out = res
+    b, p_dim, _, c4 = x_padded.shape
+    n = p_dim - 2
+    co4 = 4 * w5.shape[-1]
+    f32 = jnp.float32
+
+    g = _zero_ring(g)
+    if mode == "relu":
+        dpre = jnp.where(out > 0, g, 0.0)
+    else:
+        dpre = g
+    dpre = dpre.astype(x_padded.dtype)
+
+    # dX: transpose of a SAME 5x5 conv is the SAME 5x5 conv with the
+    # spatially flipped, io-swapped kernel — through this same op (the
+    # custom-vjp wrapper, NOT the raw impl, so the WGAN-GP double-backward
+    # can differentiate this backward pass again).
+    w5_bwd = jnp.flip(w5, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = _conv5_vjp(
+        dpre, w5_bwd, jnp.zeros((c4 // 4,), f32), "none", strip
+    ).astype(x_padded.dtype)
+
+    # dW: 9 MXU einsums give the s2d-kernel cotangent; the linear transform's
+    # vjp gathers it back to the pixel 5x5 kernel exactly.
+    dint = dpre[:, 1:-1, 1:-1, :].astype(f32)
+    dw9 = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.einsum(
+                        "bijc,bijo->co",
+                        x_padded[:, A : A + n, B : B + n, :].astype(f32),
+                        dint,
+                        preferred_element_type=f32,
+                    )
+                    for B in range(3)
+                ],
+                axis=0,
+            )
+            for A in range(3)
+        ],
+        axis=0,
+    )
+    _, t_vjp = jax.vjp(
+        lambda w: S.conv5x5_to_s2d_kernel_j(w)[0].astype(f32), w5
+    )
+    (dw5,) = t_vjp(dw9)
+    dbias = jnp.sum(dint, axis=(0, 1, 2)).reshape(4, co4 // 4).sum(0).astype(
+        jnp.asarray(bias).dtype
+    )
+    return (dx, dw5.astype(w5.dtype), dbias)
+
+
+_conv5_vjp.defvjp(_conv5_fwd, _conv5_bwd)

@@ -83,11 +83,14 @@ class FusedGenerator:
         self.pallas_decoder = True
         self.dtype = compute_dtype
         # Row-strip size of the fused conv kernels (perf knob; kernels halve
-        # it until it divides the level's block count).
-        self.strip = 8
-        # Pallas kernels want >= 128 lanes; the entry conv's input channels
-        # (1 or 2) are zero-padded per s2d group up to this many channels.
-        self.entry_pad_cin = 32
+        # it until it divides the level's block count). 16 measured ~2%
+        # faster than 8 end-to-end on v5e (docs/PERF.md round-2 knob sweep).
+        self.strip = 16
+        # The entry conv's input channels (1 or 2) are zero-padded per s2d
+        # group up to this many channels. 8 (32 lanes) measured equal-or-
+        # faster than 32 (128 lanes) end-to-end while writing 4x less
+        # padded input (Mosaic handles sub-128-lane operands fine).
+        self.entry_pad_cin = 8
         # encoder levels: (site, conv_in, conv_out, level)
         self.enc_spec = [
             ("m1", "gen_0", "gen_1", 1),

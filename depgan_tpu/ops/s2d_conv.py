@@ -163,6 +163,40 @@ def conv3x3_to_s2d_kernel_j(w: jnp.ndarray, bias: jnp.ndarray | None = None):
     return w4, bias4
 
 
+def conv5x5_to_s2d_kernel_j(w: jnp.ndarray, bias: jnp.ndarray | None = None):
+    """SAME 5x5 HWIO kernel (5, 5, Ci, Co) -> dense 3x3-tap kernel
+    (3, 3, 4Ci, 4Co) over the padded *unshifted* s2d layout.
+
+    Derivation: output pixel (2i+p, 2j+q) of block i needs input pixel rows
+    2i+p+dy-2; with u = p+dy-2 in {-2..3} that row sits in unshifted block
+    i + (u-r)/2 (r = u mod 2), i.e. tap offsets A-1 in {-1, 0, 1} — a 3x3
+    tap footprint on the ring-padded layout, with NO channel-group
+    permutation (unlike the shifted 2x2 form of the 3x3 conv: the
+    permutation there comes from re-blocking into the shifted rep).
+    The placement (dy,dx,p,q) -> w9 cell is injective, so the transform's
+    adjoint (used for dW in the VJP) is an exact gather; it is linear, so
+    ``jax.vjp`` of this function maps s2d weight cotangents back to pixel
+    ones exactly. Used for the critic's conv5x5 stack
+    (`...twoCritics_training_4fold.py:319-325`).
+    """
+    kh, kw, ci, co = w.shape
+    w9 = jnp.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
+    for p in range(2):
+        for q in range(2):
+            for dy in range(kh):
+                for dx in range(kw):
+                    u, v = p + dy - 2, q + dx - 2
+                    r, s = u % 2, v % 2
+                    a, b_ = (u - r) // 2 + 1, (v - s) // 2 + 1
+                    ci_base = (r * 2 + s) * ci
+                    co_base = (p * 2 + q) * co
+                    w9 = w9.at[
+                        a, b_, ci_base : ci_base + ci, co_base : co_base + co
+                    ].add(w[dy, dx])
+    bias4 = None if bias is None else jnp.tile(bias, 4)
+    return w9, bias4
+
+
 def conv1x1_to_s2d_kernel_j(w: jnp.ndarray, bias: jnp.ndarray | None = None):
     """Trace-safe twin of `conv1x1_to_s2d_kernel`."""
     ci, co = w.shape[-2:]
