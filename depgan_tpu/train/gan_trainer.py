@@ -169,22 +169,40 @@ class GanTrainer:
         else:
             shard_b = lambda a, axis=0: a
 
-        # use_pallas + frozen BN: every *no-gradient* generator forward in
-        # the superstep (2 critic inner loops + the best-of-k probe — ~20 of
-        # the ~21 generator passes) runs through the fused folded-BN s2d
-        # path (ops/fast_gen.FusedGenerator). Folding is exact for frozen
-        # BN, and no gradient ever flows through these forwards (the critic
-        # losses differentiate critic params only; the probe picks an
-        # argmin), so training semantics are unchanged up to conv rounding.
-        # The generator's own update keeps the Flax graph (gradients).
+        # use_pallas + frozen BN: the whole superstep runs fused —
+        # every generator forward (critic inner loops, best-of-k probe AND
+        # the generator's own gradient, via the kernels' custom VJPs), and
+        # the critic forwards/updates through ops/fast_critic.FusedCritic
+        # (conv5x5 s2d levels 0-1; the WGAN-GP input gradient comes from
+        # its hand-chained backward, so the GP double-backward needs only
+        # first-order rules). Folding is exact for frozen BN; training
+        # semantics are unchanged up to conv rounding (pinned by
+        # tests/test_fused_grad.py and tests/test_fast_critic.py).
         use_fused = self.model_cfg.use_pallas and not batch_bn
         if use_fused:
+            from ..ops.fast_critic import FusedCritic
             from ..ops.fast_gen import FusedGenerator
 
             fused = FusedGenerator(
                 self.model_cfg, pallas_levels=(1, 2),
                 compute_dtype=jnp.dtype(self.model_cfg.compute_dtype),
             )
+            # Critic levels 0-1 (the MXU-starving 5x5 stacks) through the
+            # conv5x5 s2d kernel; the WGAN-GP input gradient comes from the
+            # hand-chained score_and_input_grad (first-order-only diff).
+            fused_critic = FusedCritic(
+                self.model_cfg,
+                compute_dtype=jnp.dtype(self.model_cfg.compute_dtype),
+            )
+
+        def make_critic_fns(p):
+            """(apply, input_grad) for live critic params p."""
+            if use_fused:
+                return (
+                    lambda img: fused_critic.forward(p, img),
+                    lambda m: fused_critic.score_and_input_grad(p, m)[1],
+                )
+            return (lambda img: critic.apply({"params": p}, img), None)
 
         def make_gen_forward(state):
             """G forward as seen by the critic graphs — Keras learning-phase
@@ -221,8 +239,10 @@ class GanTrainer:
                 fake_y2 = y1 + gen_fwd(x, z)
 
                 def loss_fn(p):
-                    cf = lambda img: critic.apply({"params": p}, img)
-                    return critic_step_loss(cf, y2, fake_y2, ep, cfg.gp_weight)
+                    cf, igf = make_critic_fns(p)
+                    return critic_step_loss(
+                        cf, y2, fake_y2, ep, cfg.gp_weight, input_grad_fn=igf
+                    )
 
                 (_, (lr_, lf_)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
                 ups, new_opt = tx_d.update(grads, opt, params)
@@ -250,8 +270,11 @@ class GanTrainer:
                 dem_real = y2 - y1
 
                 def loss_fn(p):
-                    cf = lambda img: critic.apply({"params": p}, img)
-                    return critic_step_loss(cf, dem_real, dem_fake, ep, cfg.gp_weight)
+                    cf, igf = make_critic_fns(p)
+                    return critic_step_loss(
+                        cf, dem_real, dem_fake, ep, cfg.gp_weight,
+                        input_grad_fn=igf,
+                    )
 
                 (_, (lr_, lf_)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
                 ups, new_opt = tx_d.update(grads, opt, params)
@@ -279,8 +302,8 @@ class GanTrainer:
             y2 = shard_b(y_all[gen_idx])
             y1 = x[..., :1]
 
-            crit_y2_fn = lambda img: critic.apply({"params": state.dy2_params}, img)
-            crit_dem_fn = lambda img: critic.apply({"params": state.ddem_params}, img)
+            crit_y2_fn, _ = make_critic_fns(state.dy2_params)
+            crit_dem_fn, _ = make_critic_fns(state.ddem_params)
 
             probe_noises = shard_b(
                 jax.random.normal(

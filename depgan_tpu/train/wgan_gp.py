@@ -40,16 +40,25 @@ def dice_coef(y_true, y_pred, smooth: float = 1e-7):
     return (2.0 * inter + smooth) / (jnp.sum(y_true) + jnp.sum(y_pred) + smooth)
 
 
-def gradient_penalty(critic_fn, real, fake, eps):
-    """mean((||d critic(mixed) / d mixed||_2 - 1)^2), eps (B, 1, 1, 1)."""
+def gradient_penalty(critic_fn, real, fake, eps, input_grad_fn=None):
+    """mean((||d critic(mixed) / d mixed||_2 - 1)^2), eps (B, 1, 1, 1).
+
+    ``input_grad_fn`` (optional) supplies d sum(critic(m)) / dm directly —
+    the fused Pallas critic provides a hand-chained gradient
+    (ops/fast_critic.score_and_input_grad) because its custom-VJP kernels
+    cannot be linearized a second time by jax.grad-of-jax.grad."""
     mixed = eps * real + (1.0 - eps) * fake
 
-    grad = jax.grad(lambda m: jnp.sum(critic_fn(m)))(mixed)
+    if input_grad_fn is not None:
+        grad = input_grad_fn(mixed)
+    else:
+        grad = jax.grad(lambda m: jnp.sum(critic_fn(m)))(mixed)
     norm = jnp.sqrt(jnp.sum(jnp.square(grad), axis=(1, 2, 3)))
     return jnp.mean(jnp.square(norm - 1.0))
 
 
-def critic_step_loss(critic_fn, real, fake, eps, gp_weight: float):
+def critic_step_loss(critic_fn, real, fake, eps, gp_weight: float,
+                     input_grad_fn=None):
     """Critic loss = E[D(fake)] - E[D(real)] + delta * GP (reference :547).
 
     Returns (loss, (loss_real, loss_fake)) — the two scalars the reference's
@@ -57,7 +66,7 @@ def critic_step_loss(critic_fn, real, fake, eps, gp_weight: float):
     """
     loss_real = jnp.mean(critic_fn(real))
     loss_fake = jnp.mean(critic_fn(fake))
-    gp = gradient_penalty(critic_fn, real, fake, eps)
+    gp = gradient_penalty(critic_fn, real, fake, eps, input_grad_fn)
     return loss_fake - loss_real + gp_weight * gp, (loss_real, loss_fake)
 
 
