@@ -310,29 +310,40 @@ def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
         gamma = gamma_ref[0, 0]
         beta = beta_ref[0, 0]
 
+    # Stage the WHOLE plane's shifted-s2d representation once — the in-VMEM
+    # u2s: u[g, b, group(p, q)] = x[g+p, b+q, group(1-p, 1-q)] for the full
+    # (N+1, N+1) window. 4 stores (Mosaic relayouts on store; lane-dim
+    # concat of offset-mismatched slices is unsupported); every strip's
+    # conv taps are then aligned sub-reads of this one buffer.
+    #
+    # IMPORTANT (round-2 on-chip finding): a per-strip staging buffer
+    # REUSED across the strip loop miscompiles on real TPU for c4=128 at
+    # n >= 64 — Mosaic software-pipelines the loop and overwrites the
+    # scratch before the previous strip's matmul reads complete (a missed
+    # WAR hazard; deterministic wrong values from the 3rd-4th strip on,
+    # invisible in interpret mode). Staging the whole plane in a single
+    # write phase leaves only RAW dependencies, which lower correctly.
+    # Guard: scripts/onchip_validate.py.
+    for p in range(2):
+        for q in range(2):
+            src = (1 - p) * 2 + (1 - q)
+            dst = p * 2 + q
+            u_scratch[:, :, dst * c : (dst + 1) * c] = x[
+                p : p + n + 1,
+                q : q + n + 1,
+                src * c : (src + 1) * c,
+            ]
+
     n_strips = n // strip
     for s_i in range(n_strips):
         j0 = s_i * strip  # first interior output row (0-based interior)
 
-        # Stage the strip's shifted-s2d representation ONCE — the in-VMEM
-        # u2s: su[a, b, group(p, q)] = x[j0+a+p, b+q, group(1-p, 1-q)].
-        # 4 stores (Mosaic relayouts on store; lane-dim concat of
-        # offset-mismatched slices is unsupported); all 4 conv taps are then
-        # aligned sub-reads of this one buffer.
-        for p in range(2):
-            for q in range(2):
-                src = (1 - p) * 2 + (1 - q)
-                dst = p * 2 + q
-                u_scratch[:, :, dst * c : (dst + 1) * c] = x[
-                    j0 + p : j0 + p + strip + 1,
-                    q : q + n + 1,
-                    src * c : (src + 1) * c,
-                ]
-
         acc = jnp.zeros((strip * n, co4), jnp.float32)
         for A in range(2):
             for B in range(2):
-                u = u_scratch[A : A + strip, B : B + n, :].reshape(strip * n, c4)
+                u = u_scratch[
+                    j0 + A : j0 + A + strip, B : B + n, :
+                ].reshape(strip * n, c4)
                 acc = acc + jnp.dot(
                     u, w_ref[A * 2 + B], preferred_element_type=jnp.float32
                 )
@@ -543,7 +554,7 @@ def _conv3x3_s2d_impl(
         ],
         out_specs=pl.BlockSpec((1, p_dim, p_dim, co4), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((strip + 1, n + 1, c4), dt)],
+        scratch_shapes=[pltpu.VMEM((n + 1, n + 1, c4), dt)],
         # Whole-image blocks + Pallas double-buffering exceed the default
         # 16M scoped-vmem budget at level 1; the physical budget is larger.
         compiler_params=pltpu.CompilerParams(
@@ -575,27 +586,32 @@ def _kernel2(x1_ref, x2_ref, w1_ref, w2_ref, b_ref, out_ref, u1, u2, *,
     out_ref[...] = jnp.zeros_like(out_ref)
     bias = b_ref[0]
 
+    # Whole-plane staging in one write phase — NOT per strip: a staging
+    # buffer reused across the strip loop hits a Mosaic WAR-hazard
+    # miscompile (see _kernel; scripts/onchip_validate.py guards this).
+    for p in range(2):
+        for q in range(2):
+            src = (1 - p) * 2 + (1 - q)
+            dst = p * 2 + q
+            u1[:, :, dst * ca : (dst + 1) * ca] = x1[
+                p : p + n + 1, q : q + n + 1,
+                src * ca : (src + 1) * ca,
+            ]
+            u2[:, :, dst * cb : (dst + 1) * cb] = x2[
+                p : p + n + 1, q : q + n + 1,
+                src * cb : (src + 1) * cb,
+            ]
+
     n_strips = n // strip
     for s_i in range(n_strips):
         j0 = s_i * strip
-        for p in range(2):
-            for q in range(2):
-                src = (1 - p) * 2 + (1 - q)
-                dst = p * 2 + q
-                u1[:, :, dst * ca : (dst + 1) * ca] = x1[
-                    j0 + p : j0 + p + strip + 1, q : q + n + 1,
-                    src * ca : (src + 1) * ca,
-                ]
-                u2[:, :, dst * cb : (dst + 1) * cb] = x2[
-                    j0 + p : j0 + p + strip + 1, q : q + n + 1,
-                    src * cb : (src + 1) * cb,
-                ]
-
         acc = jnp.zeros((strip * n, co4), jnp.float32)
         for A in range(2):
             for B in range(2):
-                v1 = u1[A : A + strip, B : B + n, :].reshape(strip * n, c4a)
-                v2 = u2[A : A + strip, B : B + n, :].reshape(strip * n, c4b)
+                v1 = u1[j0 + A : j0 + A + strip, B : B + n, :].reshape(
+                    strip * n, c4a)
+                v2 = u2[j0 + A : j0 + A + strip, B : B + n, :].reshape(
+                    strip * n, c4b)
                 acc = acc + jnp.dot(v1, w1_ref[A * 2 + B],
                                     preferred_element_type=jnp.float32)
                 acc = acc + jnp.dot(v2, w2_ref[A * 2 + B],
@@ -652,8 +668,8 @@ def _conv2_impl(x1_padded, x2_padded, w4_1, w4_2, bias4, strip):
         out_specs=pl.BlockSpec((1, p_dim, p_dim, co4), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((strip + 1, n + 1, c4a), dt),
-            pltpu.VMEM((strip + 1, n + 1, c4b), dt),
+            pltpu.VMEM((n + 1, n + 1, c4a), dt),
+            pltpu.VMEM((n + 1, n + 1, c4b), dt),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
