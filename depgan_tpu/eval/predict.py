@@ -41,10 +41,15 @@ class EnsemblePredictor:
             # Same configuration as bench.py: fused Pallas s2d at the two
             # highest-resolution levels (docs/PERF.md).
             fg = FastGenerator(model_cfg, variables, pallas_levels=(1, 2))
+            # The folded weights become the jit ARGUMENT (self.variables),
+            # never a closure capture: closure-captured arrays are inlined
+            # into the compile payload (remote-backend HTTP 413 risk — the
+            # repo's own rule, docs/PERF.md "measurement pitfalls") and the
+            # raw Flax variables would otherwise ship as dead traffic too.
+            self.variables = fg.weights
 
             def apply_fn(variables, x, z):
-                del variables
-                return fg._forward(fg.weights, x, z)
+                return fg.forward(variables, x, z)
         else:
             def apply_fn(variables, x, z):
                 return self.model.apply(variables, x, z, train=False)

@@ -42,9 +42,47 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Staging schedule of the 3x3 s2d kernels (perf A/B knob, scripts/
+# ab_inference.py): True interleaves strip i+1's scratch staging with strip
+# i's matmuls (VPU stores overlap MXU work); False stages the whole plane as
+# one prologue (the round-2 scheme). Both write every scratch row exactly
+# once — the WAR-hazard-safe invariant (see _kernel). Module-level on
+# purpose: it selects codegen at trace time, so flip it before first use.
+INTERLEAVED_STAGING = True
+
+
+def _norm_strip(n: int, strip: int) -> int:
+    """Largest power-of-two <= ``strip`` that divides the interior row count
+    ``n``. Replaces the old bare ``while n % strip: strip //= 2`` loop,
+    which crashed (ZeroDivisionError) for non-positive strips and silently
+    accepted nonsense shapes — a kernel library should fail loudly."""
+    if n <= 0:
+        raise ValueError(f"s2d conv kernel: invalid interior size n={n}")
+    if strip < 1:
+        raise ValueError(f"s2d conv kernel: invalid strip={strip}")
+    strip = min(strip, n)
+    while strip > 1 and n % strip != 0:
+        strip //= 2
+    return strip  # strip == 1 always divides n
+
+
 def pad_s2d(y: jnp.ndarray) -> jnp.ndarray:
     """Unshifted s2d (B, N, N, 4C) -> padded layout (B, N+2, N+2, 4C)."""
     return jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+def _zero_ring_ref(o_ref, n: int):
+    """Zero only the 1-block border ring of a padded (1, N+2, N+2, C)
+    output ref. The kernels overwrite the whole interior, so zeroing the
+    full plane (`o_ref[...] = zeros`, a plane-sized VPU store per grid
+    step) is wasted work — only the ring must be constant zero (it carries
+    the SAME-padding semantics for the next conv)."""
+    z_row = jnp.zeros_like(o_ref[0, 0:1, :, :])
+    o_ref[0, 0:1, :, :] = z_row
+    o_ref[0, n + 1 : n + 2, :, :] = z_row
+    z_col = jnp.zeros_like(o_ref[0, :, 0:1, :])
+    o_ref[0, :, 0:1, :] = z_col
+    o_ref[0, :, n + 1 : n + 2, :] = z_col
 
 
 # ---------------------------------------------------------------------------
@@ -139,12 +177,17 @@ def _pool_to_s2d_kernel(x_ref, o_ref, *, n: int, c: int):
     out[bi, bj, (p, q, c)] = pool_pixel(2(bi-1)+p, 2(bj-1)+q)
                            = max_g in[2bi-1+p, 2bj-1+q, (g, c)].
     Row/col deinterleave via reshape+index and swapaxes (both Mosaic-safe).
+    NOTE (round-3 attempt, kept dead): merging column pairs into channels
+    with a contiguous (n2, n, c) -> (n2, n2, 2c) reshape — which would
+    remove all 8 swapaxes — compiles at toy shapes but hits Mosaic's
+    'infer-vector-layout: unsupported shape cast' at the production
+    (n=128, c=32) shape; the transpose formulation is the one that lowers.
     """
     n2 = n // 2
     x = x_ref[0]
     g = lambda k: x[:, :, k * c : (k + 1) * c]
     mx = jnp.maximum(jnp.maximum(g(0), g(1)), jnp.maximum(g(2), g(3)))
-    o_ref[...] = jnp.zeros_like(o_ref)
+    _zero_ring_ref(o_ref, n2)
     for p in range(2):
         rows = _deinter_rows(mx, p, n2)          # (N/2, N+2, C)
         t = jnp.swapaxes(rows, 0, 1)             # cols -> leading
@@ -212,7 +255,7 @@ def _deconv_kernel(x_ref, w_ref, b_ref, o_ref, *, m: int, c: int, o_ch: int):
     stores)."""
     n = 2 * m
     x = x_ref[0]
-    o_ref[...] = jnp.zeros_like(o_ref)
+    _zero_ring_ref(o_ref, n)
     bias = b_ref[0]  # (4O,) — per-channel bias tiled over output sub-pixels
     w = w_ref[...]   # (C, 4O), columns (sub-pixel group, channel)-major
     interior = x[1 : m + 1, 1 : m + 1, :]
@@ -298,45 +341,64 @@ deconv_s2d_pallas.defvjp(_deconv_fwd, _deconv_bwd)
 
 
 def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
-            n: int, c4: int, co4: int, strip: int, mode: str):
+            n: int, c4: int, co4: int, strip: int, mode: str,
+            head_co4: int = 0):
     """One batch element. x_ref (1, N+2, N+2, 4C); out_ref same spatial with
-    4Co channels; w_ref (4, 4C, 4Co); b/gamma/beta (1, 4Co|4C)."""
+    4Co channels; w_ref (4, 4C, 4Co); b/gamma/beta (1, 4Co|4C).
+
+    mode='head' additionally fuses the generator's 1x1 head conv + tanh:
+    gamma_ref carries the (4Co, Ho4) s2d head kernel, beta_ref the (1, Ho4)
+    head bias, and out_ref is the UNPADDED (1, N, N, Ho4) head output — the
+    relu'd conv activations never leave VMEM."""
     c = c4 // 4
     x = x_ref[0]  # (P, P, 4C)
-    out_ref[...] = jnp.zeros_like(out_ref)  # border ring stays zero
+    if mode != "head":
+        _zero_ring_ref(out_ref, n)  # ring stays zero; interior overwritten
 
     bias = b_ref[0]
     if mode == "film":
         gamma = gamma_ref[0, 0]
         beta = beta_ref[0, 0]
 
-    # Stage the WHOLE plane's shifted-s2d representation once — the in-VMEM
-    # u2s: u[g, b, group(p, q)] = x[g+p, b+q, group(1-p, 1-q)] for the full
-    # (N+1, N+1) window. 4 stores (Mosaic relayouts on store; lane-dim
-    # concat of offset-mismatched slices is unsupported); every strip's
-    # conv taps are then aligned sub-reads of this one buffer.
+    # Stage the plane's shifted-s2d representation — the in-VMEM u2s:
+    # u[g, b, group(p, q)] = x[g+p, b+q, group(1-p, 1-q)]; every strip's
+    # conv taps are then aligned sub-reads of this buffer.
     #
     # IMPORTANT (round-2 on-chip finding): a per-strip staging buffer
     # REUSED across the strip loop miscompiles on real TPU for c4=128 at
     # n >= 64 — Mosaic software-pipelines the loop and overwrites the
     # scratch before the previous strip's matmul reads complete (a missed
     # WAR hazard; deterministic wrong values from the 3rd-4th strip on,
-    # invisible in interpret mode). Staging the whole plane in a single
-    # write phase leaves only RAW dependencies, which lower correctly.
-    # Guard: scripts/onchip_validate.py.
-    for p in range(2):
-        for q in range(2):
-            src = (1 - p) * 2 + (1 - q)
-            dst = p * 2 + q
-            u_scratch[:, :, dst * c : (dst + 1) * c] = x[
-                p : p + n + 1,
-                q : q + n + 1,
-                src * c : (src + 1) * c,
-            ]
+    # invisible in interpret mode). The staging here writes every scratch
+    # row EXACTLY ONCE (disjoint regions, only RAW dependencies, which
+    # lower correctly) — but interleaved with the strip matmuls (round 3):
+    # strip i+1's rows are staged before strip i's matmuls issue, so the
+    # VPU staging stores can overlap the MXU matmuls instead of running as
+    # one serial prologue. Guard: scripts/onchip_validate.py.
+    def stage_rows(r0: int, r1: int):
+        """Write u rows [r0, r1) — each row written exactly once."""
+        for p in range(2):
+            for q in range(2):
+                src = (1 - p) * 2 + (1 - q)
+                dst = p * 2 + q
+                u_scratch[r0:r1, :, dst * c : (dst + 1) * c] = x[
+                    p + r0 : p + r1,
+                    q : q + n + 1,
+                    src * c : (src + 1) * c,
+                ]
 
     n_strips = n // strip
+    if INTERLEAVED_STAGING:
+        stage_rows(0, strip + 1)  # strip 0 reads u rows [0, strip]
+    else:
+        stage_rows(0, n + 1)  # whole-plane prologue (round-2 scheme)
     for s_i in range(n_strips):
         j0 = s_i * strip  # first interior output row (0-based interior)
+        if INTERLEAVED_STAGING and s_i + 1 < n_strips:
+            # Strip s_i+1 reads u rows [j0+strip, j0+2*strip]; row j0+strip
+            # is already staged — stage the new ones now, ahead of this
+            # strip's matmuls.
+            stage_rows(j0 + strip + 1, j0 + 2 * strip + 1)
 
         acc = jnp.zeros((strip * n, co4), jnp.float32)
         for A in range(2):
@@ -349,6 +411,24 @@ def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
                 )
 
         y = acc + bias[None, :]
+        if mode == "head":
+            # The 1x1 head matmul runs here on the in-VMEM activations (the
+            # full-channel conv plane never round-trips HBM); bias and tanh
+            # are left to the CALLER — everything elementwise on the Ho4
+            # (=4)-channel result runs on vregs lane-padded 4 -> 128 inside
+            # the kernel (32x wasted VPU work; the padded in-kernel tanh
+            # alone measured ~+9 ms/forward at batch 256), while XLA fuses
+            # them into the following dense d2s relayout for free.
+            # NOTE a lane-dense (strip, n*Ho4) store is NOT an option
+            # either: Mosaic rejects the (strip*n, Ho4) -> (strip, n*Ho4)
+            # lane merge ('infer-vector-layout: unsupported shape cast');
+            # the sublane split to (strip, n, Ho4) below is supported.
+            yb = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+            yh = jnp.dot(yb, gamma_ref[...], preferred_element_type=jnp.float32)
+            out_ref[0, j0 : j0 + strip, 0:n, :] = yh.reshape(
+                strip, n, head_co4
+            ).astype(out_ref.dtype)
+            continue
         if mode == "relu":
             y = jnp.maximum(y, 0.0)
         elif mode == "film":
@@ -440,16 +520,20 @@ def _conv3x3_s2d_bwd(mode, strip, res, g):
         dbeta = jnp.zeros_like(beta4)
         dx_extra = None
     elif mode == "film":
-        # y = x + relu(gamma*(conv+b) + beta). mask from (y - x) > 0; the
-        # pre-modulation activation c0 is recomputed with one 'none'-mode
-        # kernel pass (cheaper than storing a second full tensor).
-        mask = (out - x_padded) > 0
-        gm = jnp.where(mask, g, 0.0).astype(f32)
+        # y = x + relu(gamma*(conv+b) + beta). The pre-modulation activation
+        # c0 is recomputed with one 'none'-mode kernel pass (cheaper than
+        # storing a second full tensor), and the ReLU mask is derived
+        # EXACTLY as (gamma*c0 + beta) > 0 — differencing the dtype-rounded
+        # saved output (out - x) can flip the mask in bf16 when the small
+        # FiLM branch cancels against the large residual trunk.
         c0 = _conv3x3_s2d_impl(
             x_padded, w4, bias4, jnp.zeros_like(gamma4),
             jnp.zeros_like(beta4), "none", strip,
         ).astype(f32)
         gb = gamma4.astype(f32)[:, None, None, :]
+        bb = beta4.astype(f32)[:, None, None, :]
+        mask = c0 * gb + bb > 0
+        gm = jnp.where(mask, g, 0.0).astype(f32)
         dpre = gm * gb
         dgamma = jnp.sum(gm * c0, axis=(1, 2)).astype(gamma4.dtype)
         dbeta = jnp.sum(gm, axis=(1, 2)).astype(beta4.dtype)
@@ -464,6 +548,12 @@ def _conv3x3_s2d_bwd(mode, strip, res, g):
     # dX: transpose conv through the same fused kernel (mode='none',
     # zero bias); emits the padded layout with a zero ring — exactly the
     # cotangent x_padded expects.
+    # CONTRACT: dX goes through the raw _conv3x3_s2d_impl (no VJP), so
+    # conv3x3_s2d_fused/fused2 are FIRST-ORDER-ONLY — they cannot be
+    # linearized twice. All current call sites respect this (the WGAN-GP
+    # critic path hand-chains its input gradient in ops/fast_critic.py);
+    # a future grad-of-grad through the generator kernels must route this
+    # through _conv3x3_s2d_vjp instead (as _conv5_bwd does).
     w4_bwd = _flip_transpose_w4(w4)
     dx = _conv3x3_s2d_impl(
         dpre, w4_bwd, jnp.zeros((c4,), f32),
@@ -525,8 +615,7 @@ def _conv3x3_s2d_impl(
     co4 = w4.shape[-1]
     if mode == "film" and c4 != co4:
         raise ValueError("film mode requires C_out == C_in (residual add)")
-    while n % strip != 0:
-        strip //= 2
+    strip = _norm_strip(n, strip)
 
     dt = x_padded.dtype
     w_flat = w4.reshape(4, c4, co4).astype(dt)
@@ -568,6 +657,68 @@ def _conv3x3_s2d_impl(
     )(x_padded, w_flat, bias, gamma, beta)
 
 
+def conv3x3_s2d_fused_head(
+    x_padded: jnp.ndarray,  # (B, N+2, N+2, 4C)
+    w4: jnp.ndarray,        # (2, 2, 4C, 4Co)
+    bias4: jnp.ndarray,     # (4Co,)
+    w_head4: jnp.ndarray,   # (1, 1, 4Co, Ho4) — s2d 1x1 head kernel
+    b_head4: jnp.ndarray,   # (Ho4,)
+    strip: int = 8,
+) -> jnp.ndarray:
+    """tanh(head_1x1(relu(conv3x3_s2d(x) + b))) with the head MATMUL fused
+    into the final decoder conv's epilogue (reference head: 1x1 conv +
+    tanh, `...twoCritics_training_4fold.py:494-495`); the head bias + tanh
+    run in XLA on the dense output (see the mode='head' comment in
+    _kernel for why the elementwise tail must NOT live in the kernel).
+
+    Returns UNPADDED unshifted s2d tanh(logits) (B, N, N, Ho4) float32.
+    The head matmul runs on the in-VMEM activations, so the old path's
+    separate f32 cast + XLA conv over the full-channel plane never touches
+    HBM. INFERENCE-ONLY: no VJP (training's fused path keeps the separate
+    head, whose gradient the kernels' custom VJPs already cover)."""
+    b, p_dim, _, c4 = x_padded.shape
+    n = p_dim - 2
+    co4 = w4.shape[-1]
+    h4 = w_head4.shape[-1]
+    strip = _norm_strip(n, strip)
+    dt = x_padded.dtype
+    w_flat = w4.reshape(4, c4, co4).astype(dt)
+    bias = bias4.reshape(1, co4).astype(jnp.float32)
+    w_head = w_head4.reshape(co4, h4).astype(jnp.bfloat16)  # bf16 MXU rate
+    b_head = b_head4.reshape(1, h4).astype(jnp.float32)
+    kernel = partial(_kernel, n=n, c4=c4, co4=co4, strip=strip, mode="head",
+                     head_co4=h4)
+    flops = 2 * b * n * n * (4 * c4 * co4 + co4 * h4)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, n, h4), jnp.float32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, p_dim, p_dim, c4), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # conv weights, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # conv bias
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # head kernel (gamma slot)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # head bias (beta slot)
+        ],
+        out_specs=pl.BlockSpec((1, n, n, h4), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n + 1, n + 1, c4), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_padded.size * 2 + b * n * n * h4 * 4,
+            transcendentals=b * n * n * h4,
+        ),
+        interpret=_interpret(),
+    )(x_padded, w_flat, bias, w_head, b_head)
+    # Elementwise tail outside the kernel: XLA fuses bias + tanh into the
+    # consumer (the d2s relayout) at dense lane occupancy.
+    return jnp.tanh(out + b_head4.astype(jnp.float32))
+
+
 # ---------------------------------------------------------------------------
 # Two-operand fused conv — the decoder's first conv without materialising the
 # skip concat. conv(concat(a, b), W) == conv(a, W_rows_a) + conv(b, W_rows_b),
@@ -583,28 +734,35 @@ def _kernel2(x1_ref, x2_ref, w1_ref, w2_ref, b_ref, out_ref, u1, u2, *,
     ca, cb = c4a // 4, c4b // 4
     x1 = x1_ref[0]
     x2 = x2_ref[0]
-    out_ref[...] = jnp.zeros_like(out_ref)
+    _zero_ring_ref(out_ref, n)
     bias = b_ref[0]
 
-    # Whole-plane staging in one write phase — NOT per strip: a staging
-    # buffer reused across the strip loop hits a Mosaic WAR-hazard
-    # miscompile (see _kernel; scripts/onchip_validate.py guards this).
-    for p in range(2):
-        for q in range(2):
-            src = (1 - p) * 2 + (1 - q)
-            dst = p * 2 + q
-            u1[:, :, dst * ca : (dst + 1) * ca] = x1[
-                p : p + n + 1, q : q + n + 1,
-                src * ca : (src + 1) * ca,
-            ]
-            u2[:, :, dst * cb : (dst + 1) * cb] = x2[
-                p : p + n + 1, q : q + n + 1,
-                src * cb : (src + 1) * cb,
-            ]
+    # Interleaved single-write staging, same scheme (and same WAR-hazard
+    # rationale) as _kernel: every scratch row written exactly once, strip
+    # i+1's rows staged ahead of strip i's matmuls.
+    def stage_rows(r0: int, r1: int):
+        for p in range(2):
+            for q in range(2):
+                src = (1 - p) * 2 + (1 - q)
+                dst = p * 2 + q
+                u1[r0:r1, :, dst * ca : (dst + 1) * ca] = x1[
+                    p + r0 : p + r1, q : q + n + 1,
+                    src * ca : (src + 1) * ca,
+                ]
+                u2[r0:r1, :, dst * cb : (dst + 1) * cb] = x2[
+                    p + r0 : p + r1, q : q + n + 1,
+                    src * cb : (src + 1) * cb,
+                ]
 
     n_strips = n // strip
+    if INTERLEAVED_STAGING:
+        stage_rows(0, strip + 1)
+    else:
+        stage_rows(0, n + 1)
     for s_i in range(n_strips):
         j0 = s_i * strip
+        if INTERLEAVED_STAGING and s_i + 1 < n_strips:
+            stage_rows(j0 + strip + 1, j0 + 2 * strip + 1)
         acc = jnp.zeros((strip * n, co4), jnp.float32)
         for A in range(2):
             for B in range(2):
@@ -644,8 +802,7 @@ def _conv2_impl(x1_padded, x2_padded, w4_1, w4_2, bias4, strip):
     c4b = x2_padded.shape[-1]
     n = p_dim - 2
     co4 = w4_1.shape[-1]
-    while n % strip != 0:
-        strip //= 2
+    strip = _norm_strip(n, strip)
     dt = x1_padded.dtype
     w1 = w4_1.reshape(4, c4a, co4).astype(dt)
     w2 = w4_2.reshape(4, c4b, co4).astype(dt)
@@ -700,6 +857,8 @@ def _conv2_bwd(strip, res, g):
     dpre = jnp.where(out > 0, g, 0.0).astype(x1.dtype)
 
     def dx_for(w4, c4):
+        # Raw impl (no VJP) — first-order-only, same contract as
+        # _conv3x3_s2d_bwd above.
         return _conv3x3_s2d_impl(
             dpre, _flip_transpose_w4(w4), jnp.zeros((c4,), f32),
             jnp.zeros((b, co4), f32), jnp.zeros((b, co4), f32), "none", strip,
@@ -736,7 +895,7 @@ def _kernel5(x_ref, w_ref, b_ref, out_ref, *, n: int, c4: int, co4: int,
     """One batch element: x (1, N+2, N+2, 4C) padded unshifted s2d;
     w_ref (9, 4C, 4Co) in (A*3+B) tap order; out (1, N+2, N+2, 4Co)."""
     x = x_ref[0]
-    out_ref[...] = jnp.zeros_like(out_ref)
+    _zero_ring_ref(out_ref, n)
     bias = b_ref[0]
     n_strips = n // strip
     for s_i in range(n_strips):
@@ -785,8 +944,7 @@ def _conv5_impl(x_padded, w5, bias, mode, strip):
     b, p_dim, _, c4 = x_padded.shape
     n = p_dim - 2
     co4 = 4 * w5.shape[-1]
-    while n % strip != 0:
-        strip //= 2
+    strip = _norm_strip(n, strip)
     dt = x_padded.dtype
     w9, bias4 = S.conv5x5_to_s2d_kernel_j(w5, bias)
     w9 = w9.reshape(9, c4, co4).astype(dt)

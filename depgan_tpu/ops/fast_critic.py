@@ -44,6 +44,22 @@ _TAIL_CONVS = ("dis_2", "dis_3", None, "dis_4", "dis_5", None,
                "dis_6", "dis_7", "dis_8")  # None = max-pool
 
 
+def critic_pallas_supported(cfg) -> bool:
+    """Whether the fused critic's conv5x5 s2d kernels compile for this
+    config on real TPU. The critic's channel widths are FIXED (16/16/32/32,
+    models/critic.py) — only the image size varies — and the on-chip
+    validated envelope (scripts/onchip_validate.py) is the 256-image
+    config: level-0 n=128 (c 4->16, 16->16) and level-1 n=64 (16->32,
+    32->32). Smaller images shrink n below the validated/compilable range
+    (Mosaic rejects small shapes; see fast_gen.generator_pallas_supported).
+    Interpret mode (CPU) is shape-agnostic."""
+    from .conv_s2d_pallas import _interpret
+
+    if _interpret():
+        return True
+    return cfg.image_size >= 256
+
+
 class FusedCritic:
     """Trace-safe fused critic forward + hand-chained input gradient.
 

@@ -63,6 +63,19 @@ def _deconv_matmul(x, kernel, bias):
     return y  # (B, h, w, 4O) == unshifted s2d of the (2h, 2w, O) output
 
 
+def generator_pallas_supported(cfg: ModelConfig) -> bool:
+    """Whether the generator's fused Pallas kernels compile for this config
+    on real TPU. Mosaic rejects small shapes ('infer-vector-layout:
+    unsupported shape cast') — measured envelope on chip (round 3, /tmp
+    probe over (image_size, first_fm)): (64, 16) and up compile, (64, 8),
+    (32, 8), (16, 4) do not. Interpret mode (CPU) is shape-agnostic."""
+    from .conv_s2d_pallas import _interpret
+
+    if _interpret():
+        return True
+    return cfg.image_size >= 64 and cfg.first_fm >= 16
+
+
 class FusedGenerator:
     """The fused-forward spec: static level configuration plus trace-safe
     ``build_weights``/``forward``. Carries no parameters itself."""
@@ -78,9 +91,24 @@ class FusedGenerator:
         # the MXU (the 32-channel full-resolution level); overrides
         # s2d_levels for those levels.
         self.pallas_levels = set(pallas_levels) - self.s2d_levels
+        if self.pallas_levels and not generator_pallas_supported(cfg):
+            import warnings
+
+            warnings.warn(
+                f"Pallas generator kernels unsupported at image_size="
+                f"{cfg.image_size}, first_fm={cfg.first_fm} on this backend "
+                f"(Mosaic shape envelope: >= (64, 16)); falling back to the "
+                f"XLA fused path.", stacklevel=2,
+            )
+            self.pallas_levels = set()
         # Perf-bisection switches: restrict the Pallas path to one side.
         self.pallas_encoder = True
         self.pallas_decoder = True
+        # Fuse the 1x1 tanh head into the last decoder conv's epilogue
+        # (conv3x3_s2d_fused_head). INFERENCE-ONLY (no VJP) and OFF by
+        # default everywhere: measured 9% slower than the XLA head at
+        # production shapes (see the FastGenerator note below). A/B knob.
+        self.fuse_head = False
         self.dtype = compute_dtype
         # Row-strip size of the fused conv kernels (perf knob; kernels halve
         # it until it divides the level's block count). 16 measured ~2%
@@ -266,11 +294,18 @@ class FusedGenerator:
         )
         return h1
 
-    def _block_pallas2(self, W, up, skip, site, cin_name, cout_name, mods):
+    def _block_pallas2(self, W, up, skip, site, cin_name, cout_name, mods,
+                       head=False):
         """Decoder site chain: the first conv consumes (up, skip) as two
         operands (conv3x3_s2d_fused2) so the skip concat never exists in
-        HBM; then FiLM + conv as in _block_pallas."""
-        from .conv_s2d_pallas import conv3x3_s2d_fused, conv3x3_s2d_fused2
+        HBM; then FiLM + conv as in _block_pallas. ``head=True`` fuses the
+        1x1 tanh head into the last conv's epilogue (inference only) and
+        returns the UNPADDED tanh'd s2d head output instead."""
+        from .conv_s2d_pallas import (
+            conv3x3_s2d_fused,
+            conv3x3_s2d_fused2,
+            conv3x3_s2d_fused_head,
+        )
 
         dt = self.dtype
         gamma, beta = mods[site]
@@ -285,6 +320,13 @@ class FusedGenerator:
             S.tile_channel_params(gamma), S.tile_channel_params(beta),
             mode="film", strip=self.strip,
         )
+        if head:
+            return conv3x3_s2d_fused_head(
+                site_out,
+                W[f"{cout_name}/kernel"].astype(dt), W[f"{cout_name}/bias"],
+                W["gen_segmentation/kernel"], W["gen_segmentation/bias"],
+                strip=self.strip,
+            )
         h1 = conv3x3_s2d_fused(
             site_out, W[f"{cout_name}/kernel"].astype(dt), W[f"{cout_name}/bias"],
             mode="relu", strip=self.strip,
@@ -383,6 +425,7 @@ class FusedGenerator:
             return t
 
         h_layout = "pixel"  # mid block output
+        head_fused = False
         for site, cin, cout, level, deconv in self.dec_spec:
             s2d = level in self.s2d_levels
             k = W[f"{deconv}/kernel"].astype(dt)
@@ -396,8 +439,12 @@ class FusedGenerator:
                     up = deconv_s2d_pallas(h, w2, jnp.tile(b, 4))
                 else:
                     up = pad_s2d(jax.nn.relu(_deconv_matmul(h, k, b)))
+                head_fused = (
+                    level == 1 and self.fuse_head and self.cfg.n_out == 1
+                )
                 h, h_layout = self._block_pallas2(
-                    W, up, skip_as(level, "padded"), site, cin, cout, mods
+                    W, up, skip_as(level, "padded"), site, cin, cout, mods,
+                    head=head_fused,
                 ), "padded"
                 next_pallas = (level - 1) in self.pallas_levels and self.pallas_decoder
                 if level > 1 and not next_pallas:
@@ -416,6 +463,11 @@ class FusedGenerator:
                 h = self._block(W, cat, site, cin, cout, mods, False)
             if s2d and level > 1:
                 h = S.d2s(h)  # next deconv consumes the pixel domain
+
+        if head_fused:
+            # The last decoder kernel already applied the 1x1 head + tanh
+            # (unpadded s2d, f32) — only the pixel relayout remains.
+            return S.d2s(h)
 
         # head — h is padded-s2d only when the level-1 decoder ran on the
         # pallas path; pixel otherwise.
@@ -454,6 +506,13 @@ class FastGenerator(FusedGenerator):
                  compute_dtype=jnp.bfloat16):
         super().__init__(cfg, s2d_levels=s2d_levels, pallas_levels=pallas_levels,
                          compute_dtype=compute_dtype)
+        # fuse_head stays False (the FusedGenerator default): fusing the 1x1
+        # tanh head into the last decoder kernel MEASURED 9% SLOWER on chip
+        # (2573 vs 2835 slices/s, scripts/ab_inference.py) — the (., 128) @
+        # (128, 4) head matmul is MXU-starved per strip and the 4-lane
+        # store pays a 32x lane-padding tax, while the XLA head conv over
+        # the dense d2s output fuses with its neighbours for free. The
+        # kernel is kept (on-chip validated) as an A/B knob.
         host_vars = jax.tree.map(np.asarray, variables)
         self.weights = jax.tree.map(jnp.asarray, self.build_weights(host_vars))
         self._jit_forward = jax.jit(self.forward)

@@ -26,6 +26,7 @@ from depgan_tpu.ops import s2d_conv as S
 from depgan_tpu.ops.conv_s2d_pallas import (
     conv3x3_s2d_fused,
     conv3x3_s2d_fused2,
+    conv3x3_s2d_fused_head,
     conv5x5_s2d_fused,
     deconv_s2d_pallas,
     entry_pack,
@@ -47,6 +48,20 @@ def _check(name, got, want, tol):
           f"(tol {tol})", flush=True)
     if not ok:
         FAILS.append((name, err))
+
+
+def _check_tree(name, got, want, rtol):
+    """Relative-max-error check over a pytree of gradients."""
+    for i, (g, w) in enumerate(zip(jax.tree.leaves(got), jax.tree.leaves(want))):
+        g = jnp.asarray(g, jnp.float32)
+        w = jnp.asarray(w, jnp.float32)
+        scale = float(jnp.max(jnp.abs(w))) + 1e-6
+        err = float(jnp.max(jnp.abs(g - w))) / scale
+        ok = err <= rtol
+        print(f"{'ok ' if ok else 'FAIL'} {name}[leaf{i}]: rel err {err:.5f} "
+              f"(rtol {rtol})", flush=True)
+        if not ok:
+            FAILS.append((f"{name}[leaf{i}]", err))
 
 
 def _conv_ref(x, w, b, relu=True):
@@ -207,6 +222,285 @@ def check_entry(n, c_pad, b=4, tol=0.0, seed=13):
            jax.jit(ref)(x), tol)
 
 
+def check_head(n, cin, cout, strip, b=4, tol=0.05, seed=15):
+    # tol: the fused head matmuls the UNROUNDED f32 conv accumulator while
+    # the XLA ref rounds the conv output to bf16 first — the fused result
+    # is the more exact one; the diff is the ref's output-rounding noise
+    # through a 32-channel head sum (~0.03 observed at n=128).
+    """conv3x3_s2d_fused_head: last decoder conv + 1x1 head + tanh fused."""
+    x = jax.random.normal(jax.random.key(seed), (b, 2 * n, 2 * n, cin),
+                          jnp.float32)
+    w = jax.random.normal(jax.random.key(seed + 1), (3, 3, cin, cout),
+                          jnp.float32) * 0.05
+    bias = jax.random.normal(jax.random.key(seed + 2), (cout,),
+                             jnp.float32) * 0.1
+    kh = jax.random.normal(jax.random.key(seed + 3), (1, 1, cout, 1),
+                           jnp.float32) * 0.3
+    bh = jax.random.normal(jax.random.key(seed + 4), (1,), jnp.float32) * 0.1
+    w4, b4 = S.conv3x3_to_s2d_kernel_j(w, bias)
+    kh4, bh4 = S.conv1x1_to_s2d_kernel_j(kh, bh)
+
+    def ref(x):
+        h = _conv_ref(x, w, bias)
+        logits = lax.conv_general_dilated(
+            h, kh, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + bh
+        return jnp.tanh(logits)
+
+    def fused(x):
+        xp = pad_s2d(S.s2d_unshifted(x.astype(DT)))
+        y = conv3x3_s2d_fused_head(xp, w4, b4, kh4, bh4, strip=strip)
+        return S.d2s(y)
+
+    _check(f"head    n={n} c={cin}->{cout}->1 strip={strip}",
+           jax.jit(fused)(x), jax.jit(ref)(x), tol)
+
+
+# ---------------------------------------------------------------------------
+# Gradient checks (round 3): the custom VJPs and the hand-chained critic
+# backward have the same Mosaic exposure as the forwards — every backward
+# runs the kernels in primal position at NEW shapes (transposed kernels,
+# cotangent inputs), which interpret-mode tests cannot vet.
+# ---------------------------------------------------------------------------
+
+
+def check_conv3_grad(n, cin, cout, strip, mode="relu", b=2, rtol=0.05,
+                     seed=50, dt=None):
+    """dt=float32 is the rigorous variant: bit-comparable masks, so it
+    catches Mosaic layout/hazard bugs; the bf16 default additionally needs
+    a loose rtol for film mode, where near-zero pre-activations flip the
+    ReLU mask between the fused and ref roundings (an O(1) pointwise diff
+    that is rounding noise, not miscompile — the f32 check is the guard)."""
+    dt = dt or DT
+    x = jax.random.normal(jax.random.key(seed), (b, 2 * n, 2 * n, cin),
+                          jnp.float32) * 0.5
+    w = jax.random.normal(jax.random.key(seed + 1), (3, 3, cin, cout),
+                          jnp.float32) * 0.05
+    bias = jax.random.normal(jax.random.key(seed + 2), (cout,),
+                             jnp.float32) * 0.1
+    gamma = jax.random.normal(jax.random.key(seed + 3), (b, cin)) * 0.5 + 1.0
+    beta = jax.random.normal(jax.random.key(seed + 4), (b, cin)) * 0.1
+    cot = jax.random.normal(jax.random.key(seed + 5), (b, 2 * n, 2 * n,
+                            cin if mode == "film" else cout), jnp.float32)
+
+    def loss_fused(x, w, bias, gamma, beta):
+        w4, b4 = S.conv3x3_to_s2d_kernel_j(w, bias)
+        xp = pad_s2d(S.s2d_unshifted(x.astype(dt)))
+        yp = conv3x3_s2d_fused(
+            xp, w4.astype(dt), b4,
+            S.tile_channel_params(gamma) if mode == "film" else None,
+            S.tile_channel_params(beta) if mode == "film" else None,
+            mode=mode, strip=strip)
+        return jnp.sum(S.d2s(unpad_s2d(yp)).astype(jnp.float32) * cot)
+
+    def loss_ref(x, w, bias, gamma, beta):
+        pre = lax.conv_general_dilated(
+            x.astype(dt), w.astype(dt), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(jnp.float32) + bias
+        if mode == "relu":
+            y = jax.nn.relu(pre)
+        elif mode == "film":
+            y = x.astype(jnp.float32) + jax.nn.relu(
+                pre * gamma[:, None, None, :] + beta[:, None, None, :])
+        else:
+            y = pre
+        return jnp.sum(y * cot)
+
+    args = (x, w, bias, gamma, beta)
+    argnums = (0, 1, 2, 3, 4) if mode == "film" else (0, 1, 2)
+    g_fused = jax.jit(jax.grad(loss_fused, argnums=argnums))(*args)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=argnums))(*args)
+    _check_tree(f"grad conv3 {mode} n={n} c={cin}->{cout}", g_fused, g_ref,
+                rtol)
+
+
+def check_conv2_grad(n, c_up, c_skip, cout, strip, b=2, rtol=0.05, seed=60):
+    x1 = jax.random.normal(jax.random.key(seed), (b, 2 * n, 2 * n, c_up),
+                           jnp.float32) * 0.5
+    x2 = jax.random.normal(jax.random.key(seed + 1), (b, 2 * n, 2 * n, c_skip),
+                           jnp.float32) * 0.5
+    w = jax.random.normal(jax.random.key(seed + 2),
+                          (3, 3, c_up + c_skip, cout), jnp.float32) * 0.05
+    bias = jax.random.normal(jax.random.key(seed + 3), (cout,),
+                             jnp.float32) * 0.1
+    cot = jax.random.normal(jax.random.key(seed + 4),
+                            (b, 2 * n, 2 * n, cout), jnp.float32)
+
+    def loss_fused(x1, x2, w, bias):
+        w4u, b4 = S.conv3x3_to_s2d_kernel_j(w[:, :, :c_up, :], bias)
+        w4s, _ = S.conv3x3_to_s2d_kernel_j(w[:, :, c_up:, :])
+        p1 = pad_s2d(S.s2d_unshifted(x1.astype(DT)))
+        p2 = pad_s2d(S.s2d_unshifted(x2.astype(DT)))
+        yp = conv3x3_s2d_fused2(p1, p2, w4u.astype(DT), w4s.astype(DT), b4,
+                                strip=strip)
+        return jnp.sum(S.d2s(unpad_s2d(yp)).astype(jnp.float32) * cot)
+
+    def loss_ref(x1, x2, w, bias):
+        y = _conv_ref(jnp.concatenate([x1, x2], axis=-1), w, bias)
+        return jnp.sum(y * cot)
+
+    g_fused = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2, 3)))(x1, x2, w, bias)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3)))(x1, x2, w, bias)
+    _check_tree(f"grad fused2 n={n} c={c_up}+{c_skip}->{cout}", g_fused,
+                g_ref, rtol)
+
+
+def check_conv5_grad(n, cin, cout, strip, b=2, rtol=0.05, seed=70):
+    x = jax.random.normal(jax.random.key(seed), (b, 2 * n, 2 * n, cin),
+                          jnp.float32) * 0.5
+    w = jax.random.normal(jax.random.key(seed + 1), (5, 5, cin, cout),
+                          jnp.float32) * 0.05
+    bias = jax.random.normal(jax.random.key(seed + 2), (cout,),
+                             jnp.float32) * 0.1
+    cot = jax.random.normal(jax.random.key(seed + 3),
+                            (b, 2 * n, 2 * n, cout), jnp.float32)
+
+    def loss_fused(x, w, bias):
+        xp = pad_s2d(S.s2d_unshifted(x.astype(DT)))
+        yp = conv5x5_s2d_fused(xp, w.astype(DT), bias, mode="relu",
+                               strip=strip)
+        return jnp.sum(S.d2s(unpad_s2d(yp)).astype(jnp.float32) * cot)
+
+    def loss_ref(x, w, bias):
+        y = lax.conv_general_dilated(
+            x.astype(DT), w.astype(DT), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(jnp.float32) + bias
+        return jnp.sum(jax.nn.relu(y) * cot)
+
+    g_fused = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(x, w, bias)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(x, w, bias)
+    _check_tree(f"grad conv5 n={n} c={cin}->{cout}", g_fused, g_ref, rtol)
+
+
+def check_fused_critic_grads(image_size=256, b=2, rtol=0.08, seed=80,
+                             dt=None):
+    """FusedCritic: (a) the hand-chained input gradient vs jax.grad of the
+    plain Flax critic; (b) the WGAN-GP-style DOUBLE backward — grad wrt
+    params of a loss containing the input-grad norm — fused vs plain.
+
+    Run (a) with dt=float32: in bf16 the two paths derive their 4 ReLU
+    masks from differently-rounded forwards, and a flipped mask is an O(1)
+    pointwise diff that swamps a max-rel check (0.17 observed) while the
+    GP norm (b) still agrees to ~1e-3 — the f32 variant is the
+    miscompile guard for the pointwise chain."""
+    from depgan_tpu.config import ModelConfig
+    from depgan_tpu.models.critic import make_critic
+    from depgan_tpu.ops.fast_critic import FusedCritic
+
+    dt = dt or DT
+    cfg = ModelConfig(image_size=image_size, first_fm=32, n_input_channels=1,
+                      compute_dtype=jnp.dtype(dt).name)
+    critic = make_critic(cfg)
+    params = critic.init({"params": jax.random.key(seed)},
+                         jnp.zeros((1, image_size, image_size, 1)))["params"]
+    fc = FusedCritic(cfg, compute_dtype=dt)
+    x = jax.random.uniform(jax.random.key(seed + 1),
+                           (b, image_size, image_size, 1), jnp.float32)
+
+    # (a1) hand-chain vs jax.grad THROUGH THE SAME fused forward — same
+    # program, same masks: must agree exactly (diagnosed on chip: 0.0 diff
+    # in f32; any nonzero here is a real chain bug).
+    def plain_sum(x):
+        return jnp.sum(critic.apply({"params": params}, x))
+
+    dx_plain = jax.jit(jax.grad(plain_sum))(x)
+    dx_fused = jax.jit(lambda x: fc.score_and_input_grad(params, x)[1])(x)
+    dx_self = jax.jit(jax.grad(
+        lambda x: jnp.sum(fc.forward(params, x))))(x)
+    _check_tree(f"critic input-grad self ({jnp.dtype(dt).name})",
+                (dx_fused,), (dx_self,), 1e-5 if dt == jnp.float32 else 0.02)
+    # (a2) vs the PLAIN critic: a different program (s2d vs XLA conv
+    # summation order -> different near-zero ReLU masks), so pointwise
+    # max-rel is noise at init-scale gradients (~1e-4); the semantic
+    # cross-check is the gradient NORM (what WGAN-GP consumes).
+    nf = jnp.linalg.norm(dx_fused.astype(jnp.float32))
+    npl = jnp.linalg.norm(dx_plain.astype(jnp.float32))
+    err = abs(float(nf) - float(npl)) / (float(npl) + 1e-12)
+    ok = err <= rtol
+    print(f"{'ok ' if ok else 'FAIL'} critic input-grad norm vs plain "
+          f"({jnp.dtype(dt).name}): rel err {err:.5f} (rtol {rtol})",
+          flush=True)
+    if not ok:
+        FAILS.append(("critic input-grad norm", err))
+
+    # (b) GP double backward wrt params
+    def gp_fused(p):
+        _, g = fc.score_and_input_grad(p, x)
+        nrm = jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2, axis=(1, 2, 3))
+                       + 1e-12)
+        return jnp.mean((nrm - 1.0) ** 2)
+
+    def gp_plain(p):
+        g = jax.grad(
+            lambda xx: jnp.sum(critic.apply({"params": p}, xx))
+        )(x)
+        nrm = jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2, axis=(1, 2, 3))
+                       + 1e-12)
+        return jnp.mean((nrm - 1.0) ** 2)
+
+    gf = jax.jit(jax.grad(gp_fused))(params)
+    gp = jax.jit(jax.grad(gp_plain))(params)
+    # Compare the global grad norm + the worst leaf (leaf-wise rel-max over
+    # ~20 leaves is dominated by bf16 noise on near-zero leaves).
+    nf = jnp.sqrt(sum(jnp.sum(jnp.asarray(l, jnp.float32) ** 2)
+                      for l in jax.tree.leaves(gf)))
+    np_ = jnp.sqrt(sum(jnp.sum(jnp.asarray(l, jnp.float32) ** 2)
+                       for l in jax.tree.leaves(gp)))
+    err = abs(float(nf) - float(np_)) / (float(np_) + 1e-9)
+    ok = err <= rtol
+    print(f"{'ok ' if ok else 'FAIL'} critic GP double-bwd norm: rel err "
+          f"{err:.5f} (rtol {rtol})", flush=True)
+    if not ok:
+        FAILS.append(("critic GP double-bwd norm", err))
+
+
+def check_superstep_trajectory(image_size=256, batch=4, rtol=0.05, seed=90):
+    """ONE fused-vs-plain superstep at production resolution (tiny batch):
+    same data + key through use_pallas=False and =True must land on the
+    same trajectory (generator loss + param-update norms)."""
+    import dataclasses
+
+    import numpy as onp
+
+    from depgan_tpu.config import DataConfig, GanTrainConfig, ModelConfig
+    from depgan_tpu.train import GanTrainer
+
+    rng = onp.random.default_rng(seed)
+    n = 2 * batch
+    x_all = jnp.asarray(rng.uniform(0, 1, (n, image_size, image_size, 1)),
+                        jnp.float32)
+    y_all = jnp.asarray(rng.uniform(0, 1, (n, image_size, image_size, 1)),
+                        jnp.float32)
+    idx = onp.arange(n, dtype=onp.int32).reshape(2, batch)
+    results = []
+    for use_pallas in (False, True):
+        mcfg = ModelConfig(image_size=image_size, first_fm=32,
+                           n_input_channels=1, compute_dtype="bfloat16",
+                           use_pallas=use_pallas)
+        tcfg = GanTrainConfig(batch_size=batch, d_iters=2, warmup_d_iters=2,
+                              k_noise=2, validate_every=10_000)
+        tr = GanTrainer(mcfg, tcfg, DataConfig())
+        s0 = tr.init_state(jax.random.key(0))
+        s1, m = tr.superstep(s0, x_all, y_all, idx, n_valid=2,
+                             key=jax.random.key(1))
+        gnorm = jnp.sqrt(sum(
+            jnp.sum(jnp.asarray(l, jnp.float32) ** 2)
+            for l in jax.tree.leaves(s1.g_params)))
+        results.append((float(m["gen"]["errG"]), float(gnorm),
+                        int(m["best_noise_idx"])))
+    (e0, n0, b0), (e1, n1, b1) = results
+    err = abs(e0 - e1) / (abs(e0) + 1e-6)
+    nerr = abs(n0 - n1) / (n0 + 1e-9)
+    ok = err <= rtol and nerr <= 1e-3 and b0 == b1
+    print(f"{'ok ' if ok else 'FAIL'} superstep trajectory: errG "
+          f"{e0:+.4f} vs {e1:+.4f} (rel {err:.4f}), |G| rel {nerr:.6f}, "
+          f"probe idx {b0}=={b1}", flush=True)
+    if not ok:
+        FAILS.append(("superstep trajectory", err))
+
+
 def main():
     float(jax.jit(lambda v: (v @ v).sum())(jnp.ones((128, 128))))
     print(f"backend: {jax.default_backend()}", flush=True)
@@ -234,6 +528,30 @@ def main():
     check_deconv(32, 96, 64)
     check_entry(128, 8)
     check_entry(128, 4)
+    # head fusion (round 3)
+    check_head(128, 32, 32, 16)
+
+    # gradients (round 3) — every custom VJP at its production shapes.
+    # film mode runs twice: f32 tight (the miscompile guard — masks are
+    # bit-comparable) and bf16 loose (mask-flip rounding noise is O(1)
+    # pointwise; see check_conv3_grad docstring).
+    check_conv3_grad(128, 32, 32, 16, mode="relu")
+    check_conv3_grad(128, 32, 32, 16, mode="film", dt=jnp.float32, rtol=0.02)
+    check_conv3_grad(128, 32, 32, 16, mode="film", rtol=0.25)
+    check_conv3_grad(128, 32, 32, 16, mode="none", seed=55)
+    check_conv3_grad(64, 64, 64, 16, mode="relu", seed=56)
+    check_conv3_grad(64, 64, 64, 16, mode="film", seed=57, dt=jnp.float32,
+                     rtol=0.02)
+    check_conv3_grad(64, 64, 64, 16, mode="film", seed=57, rtol=0.25)
+    check_conv2_grad(128, 32, 32, 32, 16)
+    check_conv2_grad(64, 64, 64, 64, 16, seed=65)
+    check_conv5_grad(128, 4, 16, 16)
+    check_conv5_grad(128, 16, 16, 16, seed=72)
+    check_conv5_grad(64, 16, 32, 16, seed=74)
+    check_conv5_grad(64, 32, 32, 16, seed=76)
+    check_fused_critic_grads(dt=jnp.float32)   # pointwise chain, f32 guard
+    check_fused_critic_grads()                 # bf16: GP-norm check
+    check_superstep_trajectory()
 
     print(f"\n{len(FAILS)} failures", flush=True)
     sys.exit(1 if FAILS else 0)
