@@ -71,6 +71,12 @@ def _data_cfg(args) -> DataConfig:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="depgan", description=__doc__)
+    parser.add_argument(
+        "--platform", choices=("cpu", "tpu"), default=None,
+        help="pin the JAX backend. The session environment may preimport "
+             "jax and register a remote TPU backend that ignores "
+             "JAX_PLATFORMS; jax.config.update BEFORE first backend use "
+             "(this flag) is what actually pins it.")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("train-gan", help="two-critic WGAN-GP training, 4-fold")
@@ -131,6 +137,11 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
 
+    if args.platform is not None:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
     if args.cmd == "train-gan":
         from . import drivers
         from .parallel import make_mesh
@@ -142,6 +153,19 @@ def main(argv=None) -> int:
             reset_counters_per_fold=args.reset_counters_per_fold,
         )
         if args.folds_parallel:
+            if not args.reset_counters_per_fold:
+                # Fold-parallel scheduling necessarily runs every fold's
+                # counters independently — the same semantics as
+                # --reset-counters-per-fold, NOT the reference's faithful
+                # global-counter quirk (reference :47-49; the sequential
+                # default). Make the silent switch loud.
+                print(
+                    "train-gan: --folds-parallel trains folds concurrently, so "
+                    "warm-up counters are per-fold (as if "
+                    "--reset-counters-per-fold were set); the reference's "
+                    "global-counter behaviour needs the sequential scheduler.",
+                    file=sys.stderr,
+                )
             mesh = make_mesh(n_data=args.n_data, n_fold=len(args.folds))
             drivers.run_gan_training_multifold(
                 _model_cfg(args), cfg, _data_cfg(args), run_name=args.run_name,

@@ -105,10 +105,16 @@ def run_gan_training_multifold(
     model_dir: str = "models",
     mesh=None,
     use_tensorboard: bool = True,
+    resume: bool = True,
 ):
     """Train ALL folds concurrently on a (fold, data) mesh — the folds share
     nothing (reference runs them sequentially, :506), so they map onto
     disjoint device groups in the wall-clock of one (train/multi_fold.py).
+
+    Validation streams (`fold{k}/val_D_*`, val images) run per fold at the
+    sequential trainer's cadence (reference :842-865), and ``resume=True``
+    restores the latest stacked-state checkpoint — same contract as
+    :func:`run_gan_training`.
 
     Scheduling note: counters are per-fold-synchronous (every fold follows
     the fold-1 warm-up schedule), equivalent to
@@ -122,13 +128,14 @@ def run_gan_training_multifold(
     trainer = MultiFoldGanTrainer(model_cfg, train_cfg, data_cfg, mesh)
     Path(model_dir).mkdir(parents=True, exist_ok=True)
 
-    per_fold = []
+    per_fold, per_fold_val = [], []
     for fold in folds:
         x, y = dataset.load_gan_training_fold(data_cfg, fold)
-        x_tr, _, y_tr, _ = train_val_split(
+        x_tr, x_val, y_tr, y_val = train_val_split(
             x, y, data_cfg.val_fraction, data_cfg.split_seed
         )
         per_fold.append((x_tr, y_tr))
+        per_fold_val.append((x_val, y_val))
 
     logger = (
         Logger(Path(log_dir) / f"{run_name}_allfolds")
@@ -137,12 +144,27 @@ def run_gan_training_multifold(
     )
     states = trainer.init_states(jax.random.key(train_cfg.seed))
     ckpt = CheckpointManager(Path(model_dir) / f"{run_name}_allfolds")
+    counters = None
+    if resume and ckpt.latest_step() is not None:
+        states, counters, _ = ckpt.restore(states)
+        print(
+            f"resumed all-folds training at gen_iteration "
+            f"{counters.gen_iterations}"
+        )
+    # Initial validation images per fold (reference :772-773, [:50]).
+    k_img = train_cfg.n_val_images
+    for i, fold in enumerate(folds):
+        x_val, y_val = per_fold_val[i]
+        step0 = counters.gen_iterations if counters is not None else 0
+        logger.log_images(f"fold{fold}/val_img_Y1_IM", x_val[:k_img, ..., 0], step0)
+        logger.log_images(f"fold{fold}/val_img_Y2_IM", y_val[:k_img], step0)
 
     def checkpoint_fn(s, c):
         ckpt.save(c.gen_iterations, s, c)
 
     states, counters = trainer.fit(
-        states, per_fold, logger=logger, checkpoint_fn=checkpoint_fn
+        states, per_fold, per_fold_val=per_fold_val, logger=logger,
+        checkpoint_fn=checkpoint_fn, counters=counters,
     )
     ckpt.save(counters.gen_iterations, states, counters)
     ckpt.close()

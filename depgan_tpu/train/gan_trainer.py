@@ -179,8 +179,9 @@ class GanTrainer:
         # semantics are unchanged up to conv rounding (pinned by
         # tests/test_fused_grad.py and tests/test_fast_critic.py).
         use_fused = self.model_cfg.use_pallas and not batch_bn
+        use_fused_critic = use_fused
         if use_fused:
-            from ..ops.fast_critic import FusedCritic
+            from ..ops.fast_critic import FusedCritic, critic_pallas_supported
             from ..ops.fast_gen import FusedGenerator
 
             fused = FusedGenerator(
@@ -190,14 +191,18 @@ class GanTrainer:
             # Critic levels 0-1 (the MXU-starving 5x5 stacks) through the
             # conv5x5 s2d kernel; the WGAN-GP input gradient comes from the
             # hand-chained score_and_input_grad (first-order-only diff).
-            fused_critic = FusedCritic(
-                self.model_cfg,
-                compute_dtype=jnp.dtype(self.model_cfg.compute_dtype),
-            )
+            # Gated on the validated Mosaic shape envelope (image 256 —
+            # the critic's widths are fixed, only the image size varies).
+            use_fused_critic = critic_pallas_supported(self.model_cfg)
+            if use_fused_critic:
+                fused_critic = FusedCritic(
+                    self.model_cfg,
+                    compute_dtype=jnp.dtype(self.model_cfg.compute_dtype),
+                )
 
         def make_critic_fns(p):
             """(apply, input_grad) for live critic params p."""
-            if use_fused:
+            if use_fused_critic:
                 return (
                     lambda img: fused_critic.forward(p, img),
                     lambda m: fused_critic.score_and_input_grad(p, m)[1],
@@ -229,70 +234,78 @@ class GanTrainer:
             noises_dem = shard_b(jax.random.normal(k_ndem, noise_shape), 1)
             eps_dem = shard_b(jax.random.uniform(k_edem, (d_iters, B, 1, 1, 1)), 1)
 
-            # ---- critic Y2 inner loop (reference :802-814) ----
-            def crit_y2_body(carry, xs):
-                params, opt = carry
-                b_idx, z, ep, ok = xs
+            # ---- merged two-critic inner loop (reference :802-829) ----
+            # The reference runs the Y2 loop (:802-814) to completion, then
+            # the DEM loop (:817-829); the two are INDEPENDENT — separate
+            # params/optimizers, the generator frozen for both, noises and
+            # batch indices pre-drawn above with the same keys either way —
+            # so running them side by side is trajectory-identical (up to
+            # float reassociation from batching) while halving the number
+            # of sequential stages: ONE batch-2B generator forward feeds
+            # both critics' fakes, and the two updates run as one vmapped
+            # step (the MXU-starving small-batch XLA tail convs get 2x the
+            # work per dispatch).
+            def crit_body(carry, xs):
+                params2, opt2 = carry  # leaves stacked (2, ...): [Y2, DEM]
+                b_idx, z2, ep2, ok = xs  # z2 (2, B, nz, 1), ep2 (2, B,1,1,1)
                 x = shard_b(x_all[b_idx])
                 y2 = shard_b(y_all[b_idx])
                 y1 = x[..., :1]
-                fake_y2 = y1 + gen_fwd(x, z)
+                dem2 = gen_fwd(
+                    jnp.concatenate([x, x]),
+                    z2.reshape((-1,) + z2.shape[2:]),
+                ).reshape((2,) + y1.shape)
+                fakes = jnp.stack([y1 + dem2[0], dem2[1]])
+                reals = jnp.stack([y2, y2 - y1])
 
-                def loss_fn(p):
-                    cf, igf = make_critic_fns(p)
-                    return critic_step_loss(
-                        cf, y2, fake_y2, ep, cfg.gp_weight, input_grad_fn=igf
-                    )
+                # The optimizer update must be vmapped too: adam's scalar
+                # `count` becomes shape (2,), which does not broadcast
+                # against stacked leaves outside vmap.
+                def one_step(p, o, real, fake, ep):
+                    def loss_fn(p):
+                        cf, igf = make_critic_fns(p)
+                        return critic_step_loss(
+                            cf, real, fake, ep, cfg.gp_weight,
+                            input_grad_fn=igf,
+                        )
 
-                (_, (lr_, lf_)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-                ups, new_opt = tx_d.update(grads, opt, params)
-                new_params = optax.apply_updates(params, ups)
-                carry = (
-                    tree_select(ok, new_params, params),
-                    tree_select(ok, new_opt, opt),
+                    (_, (lr_, lf_)), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(p)
+                    ups, new_o = tx_d.update(grads, o, p)
+                    return optax.apply_updates(p, ups), new_o, lr_, lf_
+
+                new_params2, new_opt2, lr2, lf2 = jax.vmap(one_step)(
+                    params2, opt2, reals, fakes, ep2
                 )
-                return carry, (lr_, lf_)
-
-            (dy2_params, dy2_opt), (y2_real, y2_fake) = jax.lax.scan(
-                crit_y2_body,
-                (state.dy2_params, state.dy2_opt),
-                (idx, noises_y2, eps_y2, valid),
-            )
-
-            # ---- critic DEM inner loop (reference :817-829) ----
-            def crit_dem_body(carry, xs):
-                params, opt = carry
-                b_idx, z, ep, ok = xs
-                x = shard_b(x_all[b_idx])
-                y2 = shard_b(y_all[b_idx])
-                y1 = x[..., :1]
-                dem_fake = gen_fwd(x, z)
-                dem_real = y2 - y1
-
-                def loss_fn(p):
-                    cf, igf = make_critic_fns(p)
-                    return critic_step_loss(
-                        cf, dem_real, dem_fake, ep, cfg.gp_weight,
-                        input_grad_fn=igf,
-                    )
-
-                (_, (lr_, lf_)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-                ups, new_opt = tx_d.update(grads, opt, params)
                 carry = (
-                    tree_select(ok, new_params := optax.apply_updates(params, ups), params),
-                    tree_select(ok, new_opt, opt),
+                    tree_select(ok, new_params2, params2),
+                    tree_select(ok, new_opt2, opt2),
                 )
-                return carry, (lr_, lf_)
+                return carry, (lr2, lf2)
 
-            (ddem_params, ddem_opt), (dem_real_l, dem_fake_l) = jax.lax.scan(
-                crit_dem_body,
-                (state.ddem_params, state.ddem_opt),
-                (idx, noises_dem, eps_dem, valid),
+            stack2 = lambda a, b: jax.tree.map(
+                lambda u, v: jnp.stack([u, v]), a, b
             )
+            unstack2 = lambda t, i: jax.tree.map(lambda a: a[i], t)
+            params2 = stack2(state.dy2_params, state.ddem_params)
+            opt2 = stack2(state.dy2_opt, state.ddem_opt)
+            (params2, opt2), (lr2, lf2) = jax.lax.scan(
+                crit_body,
+                (params2, opt2),
+                (
+                    idx,
+                    jnp.stack([noises_y2, noises_dem], axis=1),
+                    jnp.stack([eps_y2, eps_dem], axis=1),
+                    valid,
+                ),
+            )
+            y2_real, y2_fake = lr2[:, 0], lf2[:, 0]
+            dem_real_l, dem_fake_l = lr2[:, 1], lf2[:, 1]
 
             state = state.replace(
-                dy2_params=dy2_params, dy2_opt=dy2_opt,
-                ddem_params=ddem_params, ddem_opt=ddem_opt,
+                dy2_params=unstack2(params2, 0), dy2_opt=unstack2(opt2, 0),
+                ddem_params=unstack2(params2, 1), ddem_opt=unstack2(opt2, 1),
             )
 
             # ---- generator step on the last consumed batch (reference :873) ----
@@ -373,9 +386,17 @@ class GanTrainer:
     def _build_val_step(self):
         gen, critic = self.gen, self.critic
 
-        @jax.jit
-        def val_step(state, x_val, y2_val, fixed_noise):
-            """Validation critic scores (reference :846-848)."""
+        def val_step_fn(state, x_val, y2_val, fixed_noise):
+            """Validation critic scores + the generated DEM
+            (reference :845-847).
+
+            Note `val_D_real_generated_loss` scores the critic on the RAW
+            generator output (the DEM), not the reconstructed follow-up:
+            `netD_y2.predict(netG.predict([x_val, fixed_noise]))` at
+            reference :847 — faithful even though the Y2 critic was trained
+            on follow-up images (y1 + DEM). The DEM is returned so the
+            image stream (reference :858-865) reuses this forward instead
+            of running a second one; it stays on device unless fetched."""
             y1 = x_val[..., :1]
             d_fake = jnp.mean(critic.apply({"params": state.dy2_params}, y1))
             d_real = jnp.mean(critic.apply({"params": state.dy2_params}, y2_val))
@@ -383,10 +404,13 @@ class GanTrainer:
                 {"params": state.g_params, "batch_stats": state.g_stats},
                 x_val, fixed_noise, train=False,
             )
-            d_gen = jnp.mean(critic.apply({"params": state.dy2_params}, dem + y1))
-            return d_fake, d_real, d_gen
+            d_gen = jnp.mean(critic.apply({"params": state.dy2_params}, dem))
+            return d_fake, d_real, d_gen, dem
 
-        return val_step
+        # The pure fn is kept for the multi-fold trainer, which shard_maps
+        # it over the fold axis (train/multi_fold.py).
+        self._val_step_fn = val_step_fn
+        return jax.jit(val_step_fn)
 
     # ------------------------------------------------------------------- fit
 
@@ -486,7 +510,9 @@ class GanTrainer:
 
                 # --- validation (reference :842-855) ---
                 if gi % cfg.validate_every == 0:
-                    d_fake, d_real, d_gen = self._val_step(state, xv, yv, fixed_noise)
+                    d_fake, d_real, d_gen, val_dem = self._val_step(
+                        state, xv, yv, fixed_noise
+                    )
                     log("val_D_fake_loss", float(d_fake), gi)
                     log("val_D_real_loss", float(d_real), gi)
                     log("val_D_real_generated_loss", float(d_gen), gi)
@@ -506,10 +532,7 @@ class GanTrainer:
                     # first n_val_images of the val set — [:50] at ref :862).
                     if logger is not None and gi % cfg.image_log_every == 0:
                         k_img = cfg.n_val_images
-                        dem = self.gen.apply(
-                            {"params": state.g_params, "batch_stats": state.g_stats},
-                            xv, fixed_noise, train=False,
-                        )
+                        dem = val_dem  # same forward the val scores used
                         fake = xv[..., :1] + dem
                         logger.log_images(
                             f"attributed_img_step{gi}", np.asarray(dem[:k_img]), gi

@@ -89,6 +89,26 @@ class MultiFoldGanTrainer:
             d: make_step(fn) for d, fn in self.base._superstep_fns.items()
         }
 
+        # Fold-stacked validation step (reference :842-865): the sequential
+        # trainer's pure val fn shard_mapped over the fold axis — scores +
+        # generated DEMs per fold in one dispatch.
+        val_fn = self.base._val_step_fn
+
+        def per_shard_val(state, xv, yv, noise):
+            state1 = jax.tree.map(lambda a: a[0], state)
+            d_fake, d_real, d_gen, dem = val_fn(state1, xv[0], yv[0], noise[0])
+            expand = lambda a: jnp.asarray(a)[None]
+            return expand(d_fake), expand(d_real), expand(d_gen), expand(dem)
+
+        fold = P(FOLD_AXIS)
+        self._val_step = jax.jit(
+            shard_map(
+                per_shard_val, self.mesh,
+                in_specs=(fold, fold, fold, fold),
+                out_specs=(fold, fold, fold, fold),
+            )
+        )
+
     # ------------------------------------------------------------------
 
     def init_states(self, rng):
@@ -117,23 +137,40 @@ class MultiFoldGanTrainer:
         idx = jax.device_put(jnp.asarray(idx_blocks), self._idx_sharding)
         return self._steps[d](states, x_all, y_all, idx, valid, keys)
 
-    def fit(self, states, per_fold_data, n_epochs: int | None = None,
-            logger=None, checkpoint_fn=None, seed: int | None = None):
+    def fit(self, states, per_fold_data, per_fold_val=None,
+            n_epochs: int | None = None, logger=None, checkpoint_fn=None,
+            seed: int | None = None, counters: Counters | None = None):
         """Train all folds concurrently.
 
-        ``per_fold_data``: list of (x_train, y_train) per fold. Returns the
-        final stacked states and the shared counters.
+        ``per_fold_data``: list of (x_train, y_train) per fold.
+        ``per_fold_val``: optional list of (x_val, y_val) per fold — enables
+        the reference's validation streams (scores every ``validate_every``
+        gen-iters, images every ``image_log_every``, reference :842-865),
+        emitted per fold under ``fold{k}/`` with the exact sequential-trainer
+        tag set. ``counters`` resumes from a restored checkpoint.
+        Returns the final stacked states and the shared counters.
         """
         cfg = self.cfg
         n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
         key = jax.random.key(seed if seed is not None else cfg.seed)
         x_all, y_all, n = self.stack_fold_data(per_fold_data)
 
+        xv = yv = fixed_noise = None
+        if per_fold_val is not None:
+            xv, yv, n_val = self.stack_fold_data(per_fold_val)
+            key, vk = jax.random.split(key)
+            fixed_noise = jax.device_put(
+                jax.random.normal(
+                    vk, (self.n_folds, n_val, self.base.model_cfg.noise_size, 1)
+                ),
+                self._fold_sharding,
+            )
+
         shufflers = [
             EpochShuffler(n, cfg.batch_size, cfg.seed + f)
             for f in range(self.n_folds)
         ]
-        counters = Counters()
+        counters = counters if counters is not None else Counters()
         log = logger.log_scalar if logger is not None else (lambda *a: None)
         timer = StepTimer()
 
@@ -164,6 +201,35 @@ class MultiFoldGanTrainer:
                 timer.step()
                 if logger is not None and gi % 10 == 0:
                     timer.log_to(logger, gi)
+
+                # --- validation per fold (reference :842-865) ---
+                if xv is not None and gi % cfg.validate_every == 0:
+                    d_fake, d_real, d_gen, dems = self._val_step(
+                        states, xv, yv, fixed_noise
+                    )
+                    d_fake, d_real, d_gen = (
+                        np.asarray(d_fake), np.asarray(d_real), np.asarray(d_gen)
+                    )
+                    for f in range(self.n_folds):
+                        pre = f"fold{f + 1}/"
+                        log(pre + "val_D_fake_loss", float(d_fake[f]), gi)
+                        log(pre + "val_D_real_loss", float(d_real[f]), gi)
+                        log(pre + "val_D_real_generated_loss", float(d_gen[f]), gi)
+                    if logger is not None and gi % cfg.image_log_every == 0:
+                        k_img = cfg.n_val_images
+                        dems = np.asarray(dems)  # (F, n_val, H, W, 1)
+                        y1 = np.asarray(xv)[..., :1]
+                        for f in range(self.n_folds):
+                            pre = f"fold{f + 1}/"
+                            logger.log_images(
+                                f"{pre}attributed_img_step{gi}",
+                                dems[f, :k_img], gi,
+                            )
+                            logger.log_images(
+                                f"{pre}fake_img_step{gi}",
+                                (y1[f] + dems[f])[:k_img], gi,
+                            )
+
                 counters = counters.replace(
                     gen_iterations=gi + 1,
                     crit_iterations=counters.crit_iterations + n_valid,

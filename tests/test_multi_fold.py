@@ -116,3 +116,73 @@ class TestMultiFold:
         leaf = jax.tree.leaves(states.g_params)[0]
         # Stacked leading axis is distributed over the fold axis.
         assert len(leaf.sharding.device_set) >= 4
+
+    def test_val_stream_tag_parity_with_sequential(self, trainer):
+        """The multi-fold trainer emits the sequential trainer's FULL tag
+        set per fold (scalars incl. val_D_*, and the val images), namespaced
+        ``fold{k}/`` (reference :842-865). perf/* is excluded: step timing
+        is one shared superstep for all folds, logged unprefixed."""
+        from depgan_tpu.train import GanTrainer
+
+        class Capture:
+            def __init__(self):
+                self.scalars, self.images = set(), set()
+
+            def log_scalar(self, tag, v, step):
+                self.scalars.add(tag)
+
+            def log_images(self, tag, imgs, step, denorm=(0, 255)):
+                self.images.add(tag)
+
+            def log_graph(self, *a, **k):
+                pass
+
+        data = [fold_data(8, seed=50 + f) for f in range(4)]
+        val = [fold_data(4, seed=60 + f) for f in range(4)]
+
+        multi_log = Capture()
+        states = trainer.init_states(jax.random.key(4))
+        trainer.fit(states, data, per_fold_val=val, n_epochs=1,
+                    logger=multi_log)
+
+        seq_log = Capture()
+        single = GanTrainer(MODEL_CFG, GAN_CFG, DataConfig(), mesh=None)
+        from depgan_tpu.train import Counters
+
+        s = single.init_state(jax.random.key(5))
+        single.fit_fold(s, Counters(), *data[0], *val[0], n_epochs=1,
+                        logger=seq_log)
+
+        seq_scalars = {t for t in seq_log.scalars if not t.startswith("perf/")}
+        for f in range(1, 5):
+            pre = f"fold{f}/"
+            got = {t[len(pre):] for t in multi_log.scalars if t.startswith(pre)}
+            assert got == seq_scalars, f"fold {f} scalar tag-set diff"
+            got_img = {t[len(pre):] for t in multi_log.images if t.startswith(pre)}
+            assert got_img == seq_log.images, f"fold {f} image tag-set diff"
+
+    def test_stacked_state_checkpoint_resume(self, trainer, tmp_path):
+        """Kill/resume on the stacked multi-fold state: full round trip
+        through orbax (states + counters), then training continues from the
+        restored counters — mirrors run_gan_training_multifold's resume."""
+        from depgan_tpu.io.checkpoint import CheckpointManager
+
+        data = [fold_data(8, seed=70 + f) for f in range(4)]
+        states = trainer.init_states(jax.random.key(6))
+        states, counters = trainer.fit(states, data, n_epochs=1)
+
+        ckpt = CheckpointManager(tmp_path / "mf_ckpt")
+        ckpt.save(counters.gen_iterations, states, counters)
+        template = trainer.init_states(jax.random.key(99))
+        restored, rc, _ = ckpt.restore(template)
+        ckpt.close()
+
+        assert rc.gen_iterations == counters.gen_iterations
+        assert rc.crit_iterations == counters.crit_iterations
+        for a, b in zip(jax.tree.leaves(states), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        restored = jax.device_put(restored, trainer._fold_sharding)
+        _, c2 = trainer.fit(restored, data, n_epochs=1, counters=rc)
+        assert c2.gen_iterations > rc.gen_iterations
+        assert c2.crit_iterations > rc.crit_iterations

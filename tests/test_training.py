@@ -269,6 +269,43 @@ class TestGanSuperstep:
         assert counters.gen_iterations == 5 + 3
         assert counters.crit_iterations == 5
 
+    def test_val_step_values_pinned_with_stub_models(self, trainer):
+        """Hand-computed validation scores (reference :845-847). The key
+        faithfulness pin: `val_D_real_generated_loss` scores the critic on
+        the RAW generator output (the DEM) — `netD_y2.predict(netG.predict(
+        [x_val, fixed_noise]))` at reference :847 — NOT on the reconstructed
+        follow-up ``dem + y1``."""
+
+        class StubCritic:
+            def apply(self, variables, img):
+                return 2.0 * jnp.sum(img, axis=(1, 2, 3))[:, None]
+
+        class StubGen:
+            def apply(self, variables, x, z, train=False):
+                return 0.5 * x[..., :1] - 0.25
+
+        tr = GanTrainer(MODEL_CFG, GAN_CFG, DataConfig())
+        tr.critic, tr.gen = StubCritic(), StubGen()
+        val_step = tr._build_val_step()
+
+        n = 4
+        rng = np.random.default_rng(11)
+        x_val = jnp.asarray(rng.uniform(0, 1, (n, SZ, SZ, 1)), jnp.float32)
+        y2_val = jnp.asarray(rng.uniform(0, 1, (n, SZ, SZ, 1)), jnp.float32)
+        noise = jnp.zeros((n, 32, 1), jnp.float32)
+        state = trainer.init_state(jax.random.key(0))  # stubs ignore params
+
+        d_fake, d_real, d_gen, val_dem = val_step(state, x_val, y2_val, noise)
+        per_sample = lambda a: 2.0 * np.sum(np.asarray(a), axis=(1, 2, 3))
+        assert float(d_fake) == pytest.approx(per_sample(x_val).mean(), rel=1e-5)
+        assert float(d_real) == pytest.approx(per_sample(y2_val).mean(), rel=1e-5)
+        dem = 0.5 * np.asarray(x_val) - 0.25
+        np.testing.assert_allclose(np.asarray(val_dem), dem, rtol=1e-5)
+        expect_gen = per_sample(dem).mean()
+        wrong_gen = per_sample(dem + np.asarray(x_val)).mean()  # the old bug
+        assert float(d_gen) == pytest.approx(expect_gen, rel=1e-5)
+        assert abs(expect_gen - wrong_gen) > 1e-3  # the pin distinguishes them
+
 
 class TestUResNetTrainer:
     def test_step_loss_decreases_on_learnable_task(self):
