@@ -115,6 +115,12 @@ class GanTrainer:
         # mesh's data axis inside the superstep; params stay replicated and
         # XLA inserts the gradient psum from the shardings alone.
         self._data_parallel = meshlib.data_parallel(mesh, train_cfg.batch_size)
+        # Run the two independent critic inner loops merged (one batch-2B
+        # generator forward + a vmapped stacked-params update per iteration)
+        # instead of sequentially. Measured SLOWER on v5e (753 vs 607 ms
+        # fused superstep — XLA lowers stacked-weight convs poorly); kept
+        # as a knob. Must be set before the first superstep build.
+        self.merge_critic_loops = False
         self.gen = make_generator(model_cfg)
         self.critic = make_critic(model_cfg)
         self.tx_d = optax.adam(train_cfg.lr_d, b1=train_cfg.adam_b1, b2=train_cfg.adam_b2)
@@ -234,17 +240,20 @@ class GanTrainer:
             noises_dem = shard_b(jax.random.normal(k_ndem, noise_shape), 1)
             eps_dem = shard_b(jax.random.uniform(k_edem, (d_iters, B, 1, 1, 1)), 1)
 
-            # ---- merged two-critic inner loop (reference :802-829) ----
+            # ---- critic inner loops (reference :802-829) ----
             # The reference runs the Y2 loop (:802-814) to completion, then
             # the DEM loop (:817-829); the two are INDEPENDENT — separate
             # params/optimizers, the generator frozen for both, noises and
             # batch indices pre-drawn above with the same keys either way —
-            # so running them side by side is trajectory-identical (up to
-            # float reassociation from batching) while halving the number
-            # of sequential stages: ONE batch-2B generator forward feeds
-            # both critics' fakes, and the two updates run as one vmapped
-            # step (the MXU-starving small-batch XLA tail convs get 2x the
-            # work per dispatch).
+            # so a merged side-by-side form (ONE batch-2B generator forward
+            # feeding both fakes, the two updates as one vmapped step) is
+            # trajectory-identical up to float reassociation. MEASURED ON
+            # CHIP AND REJECTED as the default: the vmapped stacked-params
+            # critic update lowers WORSE than two sequential scans — 753 vs
+            # 607 ms/superstep fused, 1270 vs 1027 plain (batch 16, D=5,
+            # v5e; docs/PERF.md round-3) — XLA cannot use the standard conv
+            # path once the weights carry a leading stacked axis. Kept
+            # behind ``merge_critic_loops`` for future hardware/compilers.
             def crit_body(carry, xs):
                 params2, opt2 = carry  # leaves stacked (2, ...): [Y2, DEM]
                 b_idx, z2, ep2, ok = xs  # z2 (2, B, nz, 1), ep2 (2, B,1,1,1)
@@ -284,29 +293,79 @@ class GanTrainer:
                 )
                 return carry, (lr2, lf2)
 
-            stack2 = lambda a, b: jax.tree.map(
-                lambda u, v: jnp.stack([u, v]), a, b
-            )
-            unstack2 = lambda t, i: jax.tree.map(lambda a: a[i], t)
-            params2 = stack2(state.dy2_params, state.ddem_params)
-            opt2 = stack2(state.dy2_opt, state.ddem_opt)
-            (params2, opt2), (lr2, lf2) = jax.lax.scan(
-                crit_body,
-                (params2, opt2),
-                (
-                    idx,
-                    jnp.stack([noises_y2, noises_dem], axis=1),
-                    jnp.stack([eps_y2, eps_dem], axis=1),
-                    valid,
-                ),
-            )
-            y2_real, y2_fake = lr2[:, 0], lf2[:, 0]
-            dem_real_l, dem_fake_l = lr2[:, 1], lf2[:, 1]
+            def crit_seq_body(which):
+                """Sequential per-critic scan body: Y2 trains on follow-up
+                images (fake = y1 + DEM), DEM on the raw change maps."""
 
-            state = state.replace(
-                dy2_params=unstack2(params2, 0), dy2_opt=unstack2(opt2, 0),
-                ddem_params=unstack2(params2, 1), ddem_opt=unstack2(opt2, 1),
-            )
+                def body(carry, xs):
+                    params, opt = carry
+                    b_idx, z, ep, ok = xs
+                    x = shard_b(x_all[b_idx])
+                    y2 = shard_b(y_all[b_idx])
+                    y1 = x[..., :1]
+                    dem = gen_fwd(x, z)
+                    if which == "y2":
+                        real, fake = y2, y1 + dem
+                    else:
+                        real, fake = y2 - y1, dem
+
+                    def loss_fn(p):
+                        cf, igf = make_critic_fns(p)
+                        return critic_step_loss(
+                            cf, real, fake, ep, cfg.gp_weight,
+                            input_grad_fn=igf,
+                        )
+
+                    (_, (lr_, lf_)), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params)
+                    ups, new_opt = tx_d.update(grads, opt, params)
+                    carry = (
+                        tree_select(ok, optax.apply_updates(params, ups), params),
+                        tree_select(ok, new_opt, opt),
+                    )
+                    return carry, (lr_, lf_)
+
+                return body
+
+            if self.merge_critic_loops:
+                stack2 = lambda a, b: jax.tree.map(
+                    lambda u, v: jnp.stack([u, v]), a, b
+                )
+                unstack2 = lambda t, i: jax.tree.map(lambda a: a[i], t)
+                params2 = stack2(state.dy2_params, state.ddem_params)
+                opt2 = stack2(state.dy2_opt, state.ddem_opt)
+                (params2, opt2), (lr2, lf2) = jax.lax.scan(
+                    crit_body,
+                    (params2, opt2),
+                    (
+                        idx,
+                        jnp.stack([noises_y2, noises_dem], axis=1),
+                        jnp.stack([eps_y2, eps_dem], axis=1),
+                        valid,
+                    ),
+                )
+                y2_real, y2_fake = lr2[:, 0], lf2[:, 0]
+                dem_real_l, dem_fake_l = lr2[:, 1], lf2[:, 1]
+                state = state.replace(
+                    dy2_params=unstack2(params2, 0), dy2_opt=unstack2(opt2, 0),
+                    ddem_params=unstack2(params2, 1), ddem_opt=unstack2(opt2, 1),
+                )
+            else:
+                (dy2_params, dy2_opt), (y2_real, y2_fake) = jax.lax.scan(
+                    crit_seq_body("y2"),
+                    (state.dy2_params, state.dy2_opt),
+                    (idx, noises_y2, eps_y2, valid),
+                )
+                (ddem_params, ddem_opt), (dem_real_l, dem_fake_l) = jax.lax.scan(
+                    crit_seq_body("dem"),
+                    (state.ddem_params, state.ddem_opt),
+                    (idx, noises_dem, eps_dem, valid),
+                )
+                state = state.replace(
+                    dy2_params=dy2_params, dy2_opt=dy2_opt,
+                    ddem_params=ddem_params, ddem_opt=ddem_opt,
+                )
 
             # ---- generator step on the last consumed batch (reference :873) ----
             last = jnp.argmax(jnp.cumsum(valid.astype(jnp.int32))) # last valid iter

@@ -172,6 +172,8 @@ def main():
           two_crit_update, dstack, reals2, fakes2, eps2)
 
     # --- batched probe: 10 noises as ONE batch-10B forward vs lax.map ---
+    zs = jax.random.normal(jax.random.key(7), (10, B, 32, 1))
+
     def probe_batched(c, W, x, zs, y2):
         k = zs.shape[0]
         xk = jnp.broadcast_to(x, (k,) + x.shape).reshape((-1,) + x.shape[1:])
@@ -206,8 +208,6 @@ def main():
           gen_update_fused, gvars, x, z, y2)
 
     # --- best-of-10 probe (lax.map over 10 fused forwards + loss) ---
-    zs = jax.random.normal(jax.random.key(7), (10, B, 32, 1))
-
     def probe(c, W, x, zs, y2):
         def one(z):
             dem = fused.forward(W, x + 1e-20 * c, z)
