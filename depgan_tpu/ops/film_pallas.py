@@ -26,9 +26,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _film_kernel(h_ref, gamma_ref, beta_ref, trunk_ref, out_ref):
-    gamma = gamma_ref[:]  # (1, C)
-    beta = beta_ref[:]
-    h = h_ref[:]  # (rows, C)
+    gamma = gamma_ref[0]  # (1, C) — block of the (B, 1, C) vector array
+    beta = beta_ref[0]
+    h = h_ref[:]  # (1, rows, C)
     out_ref[:] = trunk_ref[:] + jnp.maximum(h * gamma + beta, 0.0)
 
 
@@ -70,15 +70,21 @@ def _film_forward(h, gamma, beta, trunk):
         in_specs=[
             pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            # gamma/beta ride as (B, 1, C): a (1, 1, C) block satisfies
+            # Mosaic's trailing-dims rule (1 == array dim, C == array dim),
+            # where a (1, C) block over (B, C) does NOT (1 is neither
+            # divisible by 8 nor equal to B) — found on chip, round 3.
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(h2, gamma.astype(h.dtype), beta.astype(h.dtype), t2)
+    )(h2, gamma.astype(h.dtype)[:, None, :], beta.astype(h.dtype)[:, None, :], t2)
     return out.reshape(b, hh, ww, c)
 
 

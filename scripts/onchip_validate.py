@@ -222,6 +222,32 @@ def check_entry(n, c_pad, b=4, tol=0.0, seed=13):
            jax.jit(ref)(x), tol)
 
 
+def check_film_residual(hw, c, b=16, tol=0.0, seed=14):
+    """ops/film_pallas.film_residual vs its XLA reference, forward + the
+    custom-VJP gradients. This kernel serves the PLAIN (use_pallas Flax)
+    generator path; round 3 found its gamma/beta BlockSpec violated
+    Mosaic's trailing-dims rule for b > 1 — a compile error no CPU test
+    could see, so it gets the same on-chip guard as the conv kernels."""
+    from depgan_tpu.ops.film_pallas import film_residual, film_residual_reference
+
+    ks = jax.random.split(jax.random.key(seed), 4)
+    h = jax.random.normal(ks[0], (b, hw, hw, c), jnp.float32).astype(DT)
+    trunk = jax.random.normal(ks[1], (b, hw, hw, c), jnp.float32).astype(DT)
+    gamma = jax.random.normal(ks[2], (b, c), jnp.float32)
+    beta = jax.random.normal(ks[3], (b, c), jnp.float32)
+    _check(f"film_residual hw={hw} c={c} b={b}",
+           jax.jit(film_residual)(h, gamma, beta, trunk),
+           jax.jit(film_residual_reference)(h, gamma, beta, trunk), tol)
+    cot = jax.random.normal(jax.random.key(seed + 1), (b, hw, hw, c),
+                            jnp.float32)
+    loss = lambda f: lambda *a: jnp.sum(f(*a).astype(jnp.float32) * cot)
+    g_got = jax.jit(jax.grad(loss(film_residual), argnums=(0, 1, 2, 3)))(
+        h, gamma, beta, trunk)
+    g_want = jax.jit(jax.grad(loss(film_residual_reference),
+                              argnums=(0, 1, 2, 3)))(h, gamma, beta, trunk)
+    _check_tree(f"grad film_residual hw={hw} c={c}", g_got, g_want, 0.01)
+
+
 def check_head(n, cin, cout, strip, b=4, tol=0.05, seed=15):
     # tol: the fused head matmuls the UNROUNDED f32 conv accumulator while
     # the XLA ref rounds the conv output to bf16 first — the fused result
@@ -530,6 +556,13 @@ def main():
     check_entry(128, 4)
     # head fusion (round 3)
     check_head(128, 32, 32, 16)
+    # FiLM elementwise kernel (plain use_pallas path) — the 7 site shapes
+    # at image 256 / fm 32 collapse to these (hw, c) classes; 96 is the
+    # non-lane-multiple one.
+    check_film_residual(256, 32)
+    check_film_residual(128, 64)
+    check_film_residual(64, 96)
+    check_film_residual(32, 128)
 
     # gradients (round 3) — every custom VJP at its production shapes.
     # film mode runs twice: f32 tight (the miscompile guard — masks are
