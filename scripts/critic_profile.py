@@ -1,0 +1,153 @@
+"""Critic stage breakdown on the real chip — where do the 6.35 ms go?
+
+scripts/superstep_profile.py showed the critic forward at batch 16 costs
+6.35 ms fused / 6.64 ms plain while its MXU floor is ~0.4 ms — and that
+cost multiplies into every superstep component (10 critic updates, 20
+probe critic calls, the gen update). This times the front (entry + fused
+conv5 levels 0-1), the XLA tail (dis_2..dis_8 + head), each level-0/1
+conv5 kernel in isolation, the XLA twins, and an s2d candidate for the
+first tail convs.
+
+Run (real TPU): python scripts/critic_profile.py [batch]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from depgan_tpu.config import ModelConfig
+from depgan_tpu.models.critic import make_critic
+from depgan_tpu.ops import s2d_conv as S
+from depgan_tpu.ops.conv_s2d_pallas import (
+    conv3x3_s2d_fused,
+    conv5x5_s2d_fused,
+    entry_pack,
+    pad_s2d,
+    pool_s2d_pallas,
+    pool_to_s2d_pallas,
+    unpad_s2d,
+)
+from depgan_tpu.ops.fast_critic import FusedCritic
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+N_SCAN = 16
+DT = jnp.bfloat16
+
+
+def timed(name, fn, *args):
+    @jax.jit
+    def run(args):
+        def body(c, _):
+            out = fn(*jax.tree.map(lambda a: a, args))
+            s = jnp.sum(out).astype(jnp.float32)
+            return c + 1e-30 * s, ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=N_SCAN)
+        return c
+
+    float(run(args))
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(args))
+        reps.append(time.perf_counter() - t0)
+    ms = min(reps) / N_SCAN * 1e3
+    print(f"{name:46s} {ms:8.3f} ms", flush=True)
+    return ms
+
+
+def main():
+    float(jax.jit(lambda v: (v @ v).sum())(jnp.ones((128, 128))))
+    print(f"backend: {jax.default_backend()}  batch={B}", flush=True)
+
+    mcfg = ModelConfig(image_size=256, first_fm=32, n_input_channels=1,
+                       compute_dtype="bfloat16")
+    critic = make_critic(mcfg)
+    params = critic.init({"params": jax.random.key(1)},
+                         jnp.zeros((1, 256, 256, 1)))["params"]
+    fc = FusedCritic(mcfg, compute_dtype=DT)
+    x = jax.random.uniform(jax.random.key(2), (B, 256, 256, 1))
+
+    timed("critic fwd fused (front+tail)", lambda: fc.forward(params, x))
+    timed("critic fwd plain (whole XLA)",
+          lambda: critic.apply({"params": params}, x))
+    timed("front only (entry + conv5 L0-1 + pools)",
+          lambda: fc._front(params, x)[0])
+    pix = jax.jit(lambda p, x: fc._front(p, x)[0])(params, x)
+    timed("tail only (dis_2..9 + dense, XLA)",
+          lambda: fc._tail(params, pix))
+
+    # individual fused conv5 kernels at critic shapes
+    def leaf(block, name):
+        d = params[block][name]
+        return jnp.asarray(d["kernel"]), jnp.asarray(d["bias"])
+
+    xp = jax.jit(lambda x: entry_pack(x.astype(DT), c_pad=4))(x)
+    k0a, b0a = leaf("block_dis_0a", "conv2d_dis_0a")
+    k0a = jnp.pad(k0a, ((0, 0), (0, 0), (0, 3), (0, 0)))
+    k0b, b0b = leaf("block_dis_0b", "conv2d_dis_0b")
+    k1a, b1a = leaf("block_dis_1a", "conv2d_dis_1a")
+    k1b, b1b = leaf("block_dis_1b", "conv2d_dis_1b")
+
+    h0a = jax.jit(lambda xp: conv5x5_s2d_fused(xp, k0a.astype(DT), b0a,
+                                               strip=16))(xp)
+    timed("conv5 dis_0a (n=128, c4=16->64)",
+          lambda: conv5x5_s2d_fused(xp, k0a.astype(DT), b0a, strip=16))
+    timed("conv5 dis_0b (n=128, c4=64->64)",
+          lambda: conv5x5_s2d_fused(h0a, k0b.astype(DT), b0b, strip=16))
+    hp = jax.jit(pool_to_s2d_pallas)(h0a)
+    timed("pool_to_s2d L0->1 (n=128, c4=64)",
+          lambda: pool_to_s2d_pallas(h0a))
+    h1a = jax.jit(lambda hp: conv5x5_s2d_fused(hp, k1a.astype(DT), b1a,
+                                               strip=16))(hp)
+    timed("conv5 dis_1a (n=64, c4=64->128)",
+          lambda: conv5x5_s2d_fused(hp, k1a.astype(DT), b1a, strip=16))
+    timed("conv5 dis_1b (n=64, c4=128->128)",
+          lambda: conv5x5_s2d_fused(h1a, k1b.astype(DT), b1b, strip=16))
+    timed("pool_s2d L1->pix (n=64, c4=128)",
+          lambda: pool_s2d_pallas(h1a))
+
+    # XLA twins of levels 0-1 (what 'plain' pays for the same stages)
+    def xla_conv(h, k, b):
+        y = lax.conv_general_dilated(
+            h.astype(DT), k.astype(DT), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b.astype(DT)
+        return jax.nn.relu(y)
+
+    timed("XLA conv5 dis_0b (256^2, 16->16ch)",
+          lambda: xla_conv(jnp.zeros((B, 256, 256, 16), DT), k0b, b0b))
+    timed("XLA conv5 dis_1b (128^2, 32->32ch)",
+          lambda: xla_conv(jnp.zeros((B, 128, 128, 32), DT), k1b, b1b))
+
+    # Tail stage costs in XLA
+    k2, b2 = leaf("block_dis_2", "conv2d_dis_2")
+    timed("XLA conv3 dis_2 (64^2, 32->64ch)",
+          lambda: xla_conv(jnp.zeros((B, 64, 64, 32), DT), k2, b2))
+    k4, b4 = leaf("block_dis_4", "conv2d_dis_4")
+    timed("XLA conv3 dis_4 (32^2, 64->128ch)",
+          lambda: xla_conv(jnp.zeros((B, 32, 32, 64), DT), k4, b4))
+    k6, b6 = leaf("block_dis_6", "conv2d_dis_6")
+    timed("XLA conv3 dis_6 (16^2, 128->256ch)",
+          lambda: xla_conv(jnp.zeros((B, 16, 16, 128), DT), k6, b6))
+
+    # s2d candidate for dis_2/dis_3 (64^2 pixel -> n=32, c4=128->256):
+    w4, bias4 = S.conv3x3_to_s2d_kernel_j(k2, b2)
+    xs2d = pad_s2d(S.s2d_unshifted(jnp.zeros((B, 64, 64, 32), DT)))
+    try:
+        timed("s2d conv3 dis_2 (n=32, c4=128->256)",
+              lambda: conv3x3_s2d_fused(xs2d, w4.astype(DT), bias4,
+                                        mode="relu", strip=16))
+    except Exception as e:
+        print(f"s2d conv3 dis_2: FAILED {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -222,7 +222,7 @@ def check_entry(n, c_pad, b=4, tol=0.0, seed=13):
            jax.jit(ref)(x), tol)
 
 
-def check_film_residual(hw, c, b=16, tol=0.0, seed=14):
+def check_film_residual(hw, c, b=16, tol=0.02, seed=14):
     """ops/film_pallas.film_residual vs its XLA reference, forward + the
     custom-VJP gradients. This kernel serves the PLAIN (use_pallas Flax)
     generator path; round 3 found its gamma/beta BlockSpec violated
@@ -235,9 +235,13 @@ def check_film_residual(hw, c, b=16, tol=0.0, seed=14):
     trunk = jax.random.normal(ks[1], (b, hw, hw, c), jnp.float32).astype(DT)
     gamma = jax.random.normal(ks[2], (b, c), jnp.float32)
     beta = jax.random.normal(ks[3], (b, c), jnp.float32)
+    # The kernel casts gamma/beta to h.dtype (in the model both paths get
+    # bf16 site mods anyway); match that in the reference so the residual
+    # diff is one elementwise bf16 rounding (tol 0.02), not a layout bug.
+    gb, bb = gamma.astype(DT), beta.astype(DT)
     _check(f"film_residual hw={hw} c={c} b={b}",
-           jax.jit(film_residual)(h, gamma, beta, trunk),
-           jax.jit(film_residual_reference)(h, gamma, beta, trunk), tol)
+           jax.jit(film_residual)(h, gb, bb, trunk),
+           jax.jit(film_residual_reference)(h, gb, bb, trunk), tol)
     cot = jax.random.normal(jax.random.key(seed + 1), (b, hw, hw, c),
                             jnp.float32)
     loss = lambda f: lambda *a: jnp.sum(f(*a).astype(jnp.float32) * cot)
