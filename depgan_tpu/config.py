@@ -76,6 +76,11 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Route hot blocks through Pallas kernels (ops/) instead of plain XLA.
     use_pallas: bool = False
+    # With use_pallas: also route the critics' dis_2/dis_3 tail convs
+    # through the s2d conv3 kernel (ops/fast_critic.FusedCritic tail_s2d).
+    # Perf knob — semantics identical up to conv rounding (pinned by
+    # tests/test_fast_critic.py::TestTailS2d + on-chip checks).
+    critic_tail_s2d: bool = False
 
 
 @dataclass(frozen=True)

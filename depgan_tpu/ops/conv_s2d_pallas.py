@@ -50,6 +50,39 @@ def _interpret() -> bool:
 # purpose: it selects codegen at trace time, so flip it before first use.
 INTERLEAVED_STAGING = True
 
+# Lane-ALIGNED staging (round 3): the classic staged-u2s buffer puts the
+# value of input group src=(1-p,1-q) into lane block dst=(p,q) — every
+# staging copy crosses lane blocks, which Mosaic lowers with lane
+# rotations. But the dst labeling is arbitrary: keeping each group in its
+# OWN lane block (v[r, b, g] = x[(1-p_g)+r, (1-q_g)+b, g·C..]) makes every
+# staging copy a same-lane masked copy, and the group relabeling folds
+# into the weights as a static row-block REVERSAL (W'[A,B][g-rows] =
+# W4[A,B][comp(g)-rows], comp = bitwise complement of the (p,q) bits,
+# i.e. block order 3,2,1,0) done once at trace time. Mathematically
+# identical — pinned by the same XLA-twin tests; flag kept for on-chip A/B.
+# DEFAULT OFF until scripts/onchip_validate.py has passed with it on the
+# real chip AND scripts/ab_inference.py shows a win (CLAUDE.md kernel
+# gate: interpret mode cannot see Mosaic miscompiles).
+ALIGNED_STAGING = False
+
+# K-packed conv5 kernel (round 3): for the critic's c4 <= 64 widths, stage
+# the 9 taps lane-concatenated and run one K = 9*4C matmul per strip
+# instead of nine K-starved ones. See _kernel5_packed. Same on-chip gate
+# as ALIGNED_STAGING: default off until validated + measured faster.
+CONV5_PACKED = False
+
+# Env overrides for A/B runs without code edits (read once at import):
+#   DEPGAN_ALIGNED_STAGING=0|1, DEPGAN_INTERLEAVED_STAGING=0|1,
+#   DEPGAN_CONV5_PACKED=0|1
+import os as _os  # noqa: E402
+
+if "DEPGAN_ALIGNED_STAGING" in _os.environ:
+    ALIGNED_STAGING = _os.environ["DEPGAN_ALIGNED_STAGING"] == "1"
+if "DEPGAN_INTERLEAVED_STAGING" in _os.environ:
+    INTERLEAVED_STAGING = _os.environ["DEPGAN_INTERLEAVED_STAGING"] == "1"
+if "DEPGAN_CONV5_PACKED" in _os.environ:
+    CONV5_PACKED = _os.environ["DEPGAN_CONV5_PACKED"] == "1"
+
 
 def _norm_strip(n: int, strip: int) -> int:
     """Largest power-of-two <= ``strip`` that divides the interior row count
@@ -340,6 +373,17 @@ def _deconv_bwd(res, g):
 deconv_s2d_pallas.defvjp(_deconv_fwd, _deconv_bwd)
 
 
+def _w_rows_for_staging(w4: jnp.ndarray, c4: int, co4: int) -> jnp.ndarray:
+    """(2, 2, 4C, 4Co) -> (4, 4C, 4Co) tap-flat weights, with the row
+    blocks REVERSED when ALIGNED_STAGING is on (see the flag comment:
+    lane-aligned staging keeps group g in lane block g, so the weight rows
+    that used to sit at block dst=(p,q) move to block comp(dst))."""
+    if ALIGNED_STAGING:
+        c = c4 // 4
+        return w4.reshape(2, 2, 4, c, co4)[:, :, ::-1].reshape(4, c4, co4)
+    return w4.reshape(4, c4, co4)
+
+
 def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
             n: int, c4: int, co4: int, strip: int, mode: str,
             head_co4: int = 0):
@@ -379,13 +423,23 @@ def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
         """Write u rows [r0, r1) — each row written exactly once."""
         for p in range(2):
             for q in range(2):
-                src = (1 - p) * 2 + (1 - q)
-                dst = p * 2 + q
-                u_scratch[r0:r1, :, dst * c : (dst + 1) * c] = x[
-                    p + r0 : p + r1,
-                    q : q + n + 1,
-                    src * c : (src + 1) * c,
-                ]
+                if ALIGNED_STAGING:
+                    # lane block g keeps its own channels, shifted by
+                    # comp(g); the caller reversed the weight row blocks.
+                    g = p * 2 + q
+                    u_scratch[r0:r1, :, g * c : (g + 1) * c] = x[
+                        (1 - p) + r0 : (1 - p) + r1,
+                        (1 - q) : (1 - q) + n + 1,
+                        g * c : (g + 1) * c,
+                    ]
+                else:
+                    src = (1 - p) * 2 + (1 - q)
+                    dst = p * 2 + q
+                    u_scratch[r0:r1, :, dst * c : (dst + 1) * c] = x[
+                        p + r0 : p + r1,
+                        q : q + n + 1,
+                        src * c : (src + 1) * c,
+                    ]
 
     n_strips = n // strip
     if INTERLEAVED_STAGING:
@@ -618,7 +672,7 @@ def _conv3x3_s2d_impl(
     strip = _norm_strip(n, strip)
 
     dt = x_padded.dtype
-    w_flat = w4.reshape(4, c4, co4).astype(dt)
+    w_flat = _w_rows_for_staging(w4, c4, co4).astype(dt)
     bias = bias4.reshape(1, co4).astype(jnp.float32)
     if mode == "film":
         gamma = gamma4.astype(jnp.float32).reshape(b, 1, c4)
@@ -682,7 +736,7 @@ def conv3x3_s2d_fused_head(
     h4 = w_head4.shape[-1]
     strip = _norm_strip(n, strip)
     dt = x_padded.dtype
-    w_flat = w4.reshape(4, c4, co4).astype(dt)
+    w_flat = _w_rows_for_staging(w4, c4, co4).astype(dt)
     bias = bias4.reshape(1, co4).astype(jnp.float32)
     w_head = w_head4.reshape(co4, h4).astype(jnp.bfloat16)  # bf16 MXU rate
     b_head = b_head4.reshape(1, h4).astype(jnp.float32)
@@ -743,16 +797,29 @@ def _kernel2(x1_ref, x2_ref, w1_ref, w2_ref, b_ref, out_ref, u1, u2, *,
     def stage_rows(r0: int, r1: int):
         for p in range(2):
             for q in range(2):
-                src = (1 - p) * 2 + (1 - q)
-                dst = p * 2 + q
-                u1[r0:r1, :, dst * ca : (dst + 1) * ca] = x1[
-                    p + r0 : p + r1, q : q + n + 1,
-                    src * ca : (src + 1) * ca,
-                ]
-                u2[r0:r1, :, dst * cb : (dst + 1) * cb] = x2[
-                    p + r0 : p + r1, q : q + n + 1,
-                    src * cb : (src + 1) * cb,
-                ]
+                if ALIGNED_STAGING:
+                    g = p * 2 + q
+                    u1[r0:r1, :, g * ca : (g + 1) * ca] = x1[
+                        (1 - p) + r0 : (1 - p) + r1,
+                        (1 - q) : (1 - q) + n + 1,
+                        g * ca : (g + 1) * ca,
+                    ]
+                    u2[r0:r1, :, g * cb : (g + 1) * cb] = x2[
+                        (1 - p) + r0 : (1 - p) + r1,
+                        (1 - q) : (1 - q) + n + 1,
+                        g * cb : (g + 1) * cb,
+                    ]
+                else:
+                    src = (1 - p) * 2 + (1 - q)
+                    dst = p * 2 + q
+                    u1[r0:r1, :, dst * ca : (dst + 1) * ca] = x1[
+                        p + r0 : p + r1, q : q + n + 1,
+                        src * ca : (src + 1) * ca,
+                    ]
+                    u2[r0:r1, :, dst * cb : (dst + 1) * cb] = x2[
+                        p + r0 : p + r1, q : q + n + 1,
+                        src * cb : (src + 1) * cb,
+                    ]
 
     n_strips = n // strip
     if INTERLEAVED_STAGING:
@@ -804,8 +871,8 @@ def _conv2_impl(x1_padded, x2_padded, w4_1, w4_2, bias4, strip):
     co4 = w4_1.shape[-1]
     strip = _norm_strip(n, strip)
     dt = x1_padded.dtype
-    w1 = w4_1.reshape(4, c4a, co4).astype(dt)
-    w2 = w4_2.reshape(4, c4b, co4).astype(dt)
+    w1 = _w_rows_for_staging(w4_1, c4a, co4).astype(dt)
+    w2 = _w_rows_for_staging(w4_2, c4b, co4).astype(dt)
     bias = bias4.reshape(1, co4).astype(jnp.float32)
     kernel = partial(_kernel2, n=n, c4a=c4a, c4b=c4b, co4=co4, strip=strip)
     flops = 2 * b * n * n * 4 * (c4a + c4b) * co4
@@ -916,6 +983,35 @@ def _kernel5(x_ref, w_ref, b_ref, out_ref, *, n: int, c4: int, co4: int,
         ).astype(out_ref.dtype)
 
 
+def _kernel5_packed(x_ref, w_ref, b_ref, out_ref, u9, *, n: int, c4: int,
+                    co4: int, strip: int, mode: str):
+    """K-packed variant of _kernel5 for the critic's K-starved widths
+    (c4 = 16/64 vs the 128-lane MXU): the 9 tap operands are staged ONCE
+    lane-concatenated into u9 (1 write per region — the WAR-hazard-safe
+    single-write-phase pattern, see _kernel), so each strip runs ONE matmul
+    with K = 9*4C instead of nine K = 4C matmuls. Same FLOPs, ~9x/2x MXU
+    K-occupancy for c4 = 16/64, and 9x fewer MXU issues. w_ref (9*4C, 4Co)
+    row order matches the (A*3+B, channel) lane packing."""
+    x = x_ref[0]
+    _zero_ring_ref(out_ref, n)
+    bias = b_ref[0]
+    for A in range(3):
+        for B in range(3):
+            t = A * 3 + B
+            u9[:, :, t * c4 : (t + 1) * c4] = x[A : A + n, B : B + n, :]
+    n_strips = n // strip
+    for s_i in range(n_strips):
+        j0 = s_i * strip
+        v = u9[j0 : j0 + strip, :, :].reshape(strip * n, 9 * c4)
+        y = jnp.dot(v, w_ref[...], preferred_element_type=jnp.float32)
+        y = y + bias[None, :]
+        if mode == "relu":
+            y = jnp.maximum(y, 0.0)
+        out_ref[0, j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :] = y.reshape(
+            strip, n, co4
+        ).astype(out_ref.dtype)
+
+
 def conv5x5_s2d_fused(
     x_padded: jnp.ndarray,  # (B, N+2, N+2, 4C) padded unshifted s2d
     w5: jnp.ndarray,        # (5, 5, C, Co) pixel-domain HWIO kernel
@@ -947,9 +1043,22 @@ def _conv5_impl(x_padded, w5, bias, mode, strip):
     strip = _norm_strip(n, strip)
     dt = x_padded.dtype
     w9, bias4 = S.conv5x5_to_s2d_kernel_j(w5, bias)
-    w9 = w9.reshape(9, c4, co4).astype(dt)
+    # K-packed kernel for the K-starved widths (see _kernel5_packed). The
+    # u9 staging buffer is 9x the interior plane — only worth it (and only
+    # VMEM-affordable) below the MXU's native K of 128 lanes.
+    packed = CONV5_PACKED and c4 <= 64
+    if packed:
+        kernel = partial(_kernel5_packed, n=n, c4=c4, co4=co4, strip=strip,
+                         mode=mode)
+        w_arg = w9.reshape(9 * c4, co4).astype(dt)
+        scratch = [pltpu.VMEM((n, n, 9 * c4), dt)]
+    else:
+        kernel = partial(_kernel5, n=n, c4=c4, co4=co4, strip=strip,
+                         mode=mode)
+        w_arg = w9.reshape(9, c4, co4).astype(dt)
+        scratch = []
     return pl.pallas_call(
-        partial(_kernel5, n=n, c4=c4, co4=co4, strip=strip, mode=mode),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b, p_dim, p_dim, co4), dt),
         grid=(b,),
         in_specs=[
@@ -960,6 +1069,7 @@ def _conv5_impl(x_padded, w5, bias, mode, strip):
         ],
         out_specs=pl.BlockSpec((1, p_dim, p_dim, co4), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -969,7 +1079,7 @@ def _conv5_impl(x_padded, w5, bias, mode, strip):
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(x_padded, w9, bias4.reshape(1, co4).astype(jnp.float32))
+    )(x_padded, w_arg, bias4.reshape(1, co4).astype(jnp.float32))
 
 
 def _conv5_fwd(x_padded, w5, bias, mode, strip):

@@ -28,8 +28,10 @@ from jax import lax
 
 from ..config import ModelConfig
 from .conv_s2d_pallas import (
+    _flip_transpose_w4,
     _pool_bwd,
     _pool_to_s2d_bwd,
+    conv3x3_s2d_fused,
     conv5x5_s2d_fused,
     entry_pack,
     pool_s2d_pallas,
@@ -67,12 +69,19 @@ class FusedCritic:
     pytree (the critic has no BN, so there is nothing to fold)."""
 
     def __init__(self, cfg: ModelConfig, strip: int = 16,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, tail_s2d: bool = False):
         self.cfg = cfg
         self.strip = strip
         self.dtype = compute_dtype
         # entry channels padded per s2d group (image is 1-channel).
         self.entry_pad = 4
+        # Route dis_2/dis_3 (the first two tail convs, 64^2 pixel x 32->64
+        # ch) through the conv3 s2d kernel too (n=32, c4=128->256 — MXU-
+        # friendly K/N) instead of XLA. Experimental perf knob: the n=32
+        # shapes are outside the round-2 validated envelope, so enabling it
+        # in the trainer requires the scripts/onchip_validate.py checks at
+        # these shapes to be green first.
+        self.tail_s2d = tail_s2d
 
     # ------------------------------------------------------------- pieces
 
@@ -100,7 +109,8 @@ class FusedCritic:
             ) + b.astype(dt)
             return jax.nn.relu(y) if relu else y
 
-        for blk in _TAIL_CONVS:
+        convs = _TAIL_CONVS[3:] if self.tail_s2d else _TAIL_CONVS
+        for blk in convs:
             if blk is None:
                 h = nn.max_pool(h, (2, 2), (2, 2))
             else:
@@ -129,11 +139,25 @@ class FusedCritic:
         hp = pool_to_s2d_pallas(h0b)
         h1a = conv5x5_s2d_fused(hp, k1a.astype(dt), b1a, strip=st)
         h1b = conv5x5_s2d_fused(h1a, k1b.astype(dt), b1b, strip=st)
-        pix = pool_s2d_pallas(h1b)
         res = dict(
             xp=xp, h0a=h0a, h0b=h0b, hp=hp, h1a=h1a, h1b=h1b,
             ks=(k0a, k0b, k1a, k1b),
         )
+        if self.tail_s2d:
+            # dis_2/dis_3 in the s2d domain (n=32, c4=128->256).
+            k2, b2 = self._leaf(params, "block_dis_2", "conv2d_dis_2")
+            k3, b3 = self._leaf(params, "block_dis_3", "conv2d_dis_3")
+            w4_2, b4_2 = S.conv3x3_to_s2d_kernel_j(k2, b2)
+            w4_3, b4_3 = S.conv3x3_to_s2d_kernel_j(k3, b3)
+            hp1 = pool_to_s2d_pallas(h1b)
+            h2 = conv3x3_s2d_fused(hp1, w4_2.astype(dt), b4_2,
+                                   mode="relu", strip=st)
+            h3 = conv3x3_s2d_fused(h2, w4_3.astype(dt), b4_3,
+                                   mode="relu", strip=st)
+            pix = pool_s2d_pallas(h3)
+            res.update(hp1=hp1, h2=h2, h3=h3, ks3=(w4_2, w4_3))
+        else:
+            pix = pool_s2d_pallas(h1b)
         return pix, res
 
     # ------------------------------------------------------------ forward
@@ -157,9 +181,30 @@ class FusedCritic:
         score, tail_vjp = jax.vjp(lambda h: self._tail(params, h), pix)
 
         (d_pix,) = tail_vjp(jnp.ones_like(score))
-        # pool backwards: the pools' own custom-bwd functions (pure jnp,
-        # differentiable again) applied directly.
-        (d_h1b,) = _pool_bwd(res["h1b"], d_pix.astype(res["h1b"].dtype))
+
+        def conv3_bwd(d_out, out, w4, c_in4):
+            """Transpose of conv3x3_s2d_fused (relu mode): relu mask, then
+            the flip-transposed s2d conv through the same Pallas op (primal
+            position — first-order differentiable for the GP double bwd)."""
+            d_pre = jnp.where(out > 0, d_out, 0.0).astype(dt)
+            d_pre = jnp.pad(
+                d_pre[:, 1:-1, 1:-1, :], ((0, 0), (1, 1), (1, 1), (0, 0))
+            )
+            return conv3x3_s2d_fused(
+                d_pre, _flip_transpose_w4(w4).astype(dt),
+                jnp.zeros((c_in4,), jnp.float32), mode="none", strip=st,
+            )
+
+        if self.tail_s2d:
+            (d_h3,) = _pool_bwd(res["h3"], d_pix.astype(res["h3"].dtype))
+            w4_2, w4_3 = res["ks3"]
+            d_h2 = conv3_bwd(d_h3, res["h3"], w4_3, res["h2"].shape[-1])
+            d_hp1 = conv3_bwd(d_h2, res["h2"], w4_2, res["hp1"].shape[-1])
+            (d_h1b,) = _pool_to_s2d_bwd(res["h1b"], d_hp1)
+        else:
+            # pool backwards: the pools' own custom-bwd functions (pure
+            # jnp, differentiable again) applied directly.
+            (d_h1b,) = _pool_bwd(res["h1b"], d_pix.astype(res["h1b"].dtype))
 
         def conv5_bwd(d_out, out, w5, c_in4):
             """Transpose of conv5x5_s2d_fused (relu mode): relu mask, then

@@ -204,6 +204,7 @@ class GanTrainer:
                 fused_critic = FusedCritic(
                     self.model_cfg,
                     compute_dtype=jnp.dtype(self.model_cfg.compute_dtype),
+                    tail_s2d=self.model_cfg.critic_tail_s2d,
                 )
 
         def make_critic_fns(p):

@@ -29,14 +29,17 @@ N_SCAN = 32
 BATCH = 256
 
 
-def measure(variables, interleaved: bool, fuse_head: bool) -> float:
+def measure(variables, interleaved: bool, fuse_head: bool,
+            aligned: bool = True, strip: int = 16) -> float:
     csp.INTERLEAVED_STAGING = interleaved
+    csp.ALIGNED_STAGING = aligned
     cfg = ModelConfig(
         image_size=256, first_fm=32, n_input_channels=1,
         compute_dtype="bfloat16",
     )
     fast = FastGenerator(cfg, variables, s2d_levels=(), pallas_levels=(1, 2))
     fast.fuse_head = fuse_head
+    fast.strip = strip
 
     @jax.jit
     def forward_scan(weights, x, zs):
@@ -65,14 +68,23 @@ def main():
         compute_dtype="bfloat16",
     )
     _, variables = init_generator(cfg, jax.random.key(0))
-    for interleaved in (False, True):
-        for fuse_head in (False, True):
-            v = measure(variables, interleaved, fuse_head)
+    # Round-3 settled knobs: interleaved staging on, head fusion off.
+    # Current A/B: lane-aligned staging (weight row-block reversal) vs the
+    # classic lane-rotating staged-u2s, under both staging schedules.
+    for aligned in (False, True):
+        for interleaved in (False, True):
+            v = measure(variables, interleaved, False, aligned=aligned)
             print(
-                f"interleaved={int(interleaved)} fuse_head={int(fuse_head)}"
+                f"aligned={int(aligned)} interleaved={int(interleaved)}"
                 f" -> {v:8.1f} slices/s",
                 flush=True,
             )
+    # strip sweep under the aligned+interleaved config (the round-2
+    # optimum was 16 with rotating staging; aligned may shift it).
+    for strip in (8, 32):
+        v = measure(variables, True, False, aligned=True, strip=strip)
+        print(f"aligned=1 interleaved=1 strip={strip} -> {v:8.1f} slices/s",
+              flush=True)
 
 
 if __name__ == "__main__":

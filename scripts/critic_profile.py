@@ -114,6 +114,33 @@ def main():
     timed("pool_s2d L1->pix (n=64, c4=128)",
           lambda: pool_s2d_pallas(h1a))
 
+    # CONV5_PACKED A/B: the K-packed kernel (one K=9*4C matmul per strip)
+    # vs the dense 9-matmul default, per kernel and whole-critic.
+    from depgan_tpu.ops import conv_s2d_pallas as csp
+
+    prev_packed = csp.CONV5_PACKED
+    for packed in (False, True):
+        csp.CONV5_PACKED = packed
+        tag = "packed" if packed else "dense "
+        try:
+            timed(f"conv5 dis_0a {tag} (n=128, c4=16->64)",
+                  lambda: conv5x5_s2d_fused(xp, k0a.astype(DT), b0a,
+                                            strip=16))
+            timed(f"conv5 dis_0b {tag} (n=128, c4=64->64)",
+                  lambda: conv5x5_s2d_fused(h0a, k0b.astype(DT), b0b,
+                                            strip=16))
+            timed(f"conv5 dis_1a {tag} (n=64, c4=64->128)",
+                  lambda: conv5x5_s2d_fused(hp, k1a.astype(DT), b1a,
+                                            strip=16))
+            timed(f"critic fwd fused {tag}",
+                  lambda: fc.forward(params, x))
+            timed(f"critic fwd+input-grad {tag}",
+                  lambda: fc.score_and_input_grad(params, x)[1])
+        except Exception as e:
+            print(f"conv5 {tag} A/B: FAILED {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
+    csp.CONV5_PACKED = prev_packed
+
     # XLA twins of levels 0-1 (what 'plain' pays for the same stages)
     def xla_conv(h, k, b):
         y = lax.conv_general_dilated(
@@ -144,9 +171,40 @@ def main():
         timed("s2d conv3 dis_2 (n=32, c4=128->256)",
               lambda: conv3x3_s2d_fused(xs2d, w4.astype(DT), bias4,
                                         mode="relu", strip=16))
+        k3, b3 = leaf("block_dis_3", "conv2d_dis_3")
+        w4_3, bias4_3 = S.conv3x3_to_s2d_kernel_j(k3, b3)
+        xs2d3 = pad_s2d(S.s2d_unshifted(jnp.zeros((B, 64, 64, 64), DT)))
+        timed("s2d conv3 dis_3 (n=32, c4=256->256)",
+              lambda: conv3x3_s2d_fused(xs2d3, w4_3.astype(DT), bias4_3,
+                                        mode="relu", strip=16))
     except Exception as e:
-        print(f"s2d conv3 dis_2: FAILED {type(e).__name__}: "
+        print(f"s2d conv3 dis_2/3: FAILED {type(e).__name__}: "
               f"{str(e).splitlines()[0][:120]}", flush=True)
+
+    # tail_s2d A/B: the whole fused critic with dis_2/dis_3 in s2d vs the
+    # round-2 envelope, forward AND the hand-chained input grad (what the
+    # superstep's critic updates / GP actually pay).
+    fc_t = FusedCritic(mcfg, compute_dtype=DT, tail_s2d=True)
+    try:
+        timed("critic fwd fused tail_s2d",
+              lambda: fc_t.forward(params, x))
+        timed("critic fwd+input-grad (tail_s2d=False)",
+              lambda: fc.score_and_input_grad(params, x)[1])
+        timed("critic fwd+input-grad (tail_s2d=True)",
+              lambda: fc_t.score_and_input_grad(params, x)[1])
+    except Exception as e:
+        print(f"tail_s2d A/B: FAILED {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:120]}", flush=True)
+
+    # strip sweep of the fused forward (the conv5 kernels' row-strip size).
+    for st in (8, 32, 64):
+        try:
+            fcs = FusedCritic(mcfg, strip=st, compute_dtype=DT)
+            timed(f"critic fwd fused strip={st}",
+                  lambda fcs=fcs: fcs.forward(params, x))
+        except Exception as e:
+            print(f"strip={st}: FAILED {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
 
 
 if __name__ == "__main__":

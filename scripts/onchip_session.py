@@ -1,0 +1,70 @@
+"""One-process on-chip session: validation + every profile, one backend init.
+
+Each fresh process on the axon backend pays ~200-250 s of init before its
+first jit (docs/PERF.md), so after a kernel-change batch the full measure
+loop (validate -> micro -> critic -> superstep -> inference A/B) is run in
+ONE process. onchip_validate gates the rest: if any kernel fails its
+XLA-twin check, the profiles are meaningless and are skipped.
+
+Run (real TPU): python scripts/onchip_session.py [phases]
+  phases: comma list of {validate,micro,critic,superstep,ab}; default all.
+"""
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+PHASES = ("validate", "micro", "critic", "superstep", "ab")
+
+
+def run_phase(name, fn):
+    print(f"\n===== {name} =====", flush=True)
+    t0 = time.time()
+    try:
+        fn()
+        ok = True
+    except SystemExit as e:  # onchip_validate exits nonzero on failures
+        ok = (e.code or 0) == 0
+    except Exception:
+        traceback.print_exc()
+        ok = False
+    print(f"===== {name}: {'ok' if ok else 'FAILED'} "
+          f"({time.time() - t0:.0f}s) =====", flush=True)
+    return ok
+
+
+def main():
+    want = sys.argv[1].split(",") if len(sys.argv) > 1 else PHASES
+    sys.argv = sys.argv[:1]  # sub-scripts parse argv (batch size etc.)
+
+    import onchip_validate
+
+    if "validate" in want:
+        if not run_phase("validate", onchip_validate.main):
+            print("validation failed — skipping profiles", flush=True)
+            sys.exit(1)
+
+    if "micro" in want:
+        import kernel_micro
+
+        run_phase("kernel_micro", kernel_micro.main)
+    if "critic" in want:
+        import critic_profile
+
+        run_phase("critic_profile", critic_profile.main)
+    if "superstep" in want:
+        import superstep_profile
+
+        run_phase("superstep_profile", superstep_profile.main)
+    if "ab" in want:
+        import ab_inference
+
+        run_phase("ab_inference", ab_inference.main)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "scripts")
+    main()

@@ -405,7 +405,7 @@ def check_conv5_grad(n, cin, cout, strip, b=2, rtol=0.05, seed=70):
 
 
 def check_fused_critic_grads(image_size=256, b=2, rtol=0.08, seed=80,
-                             dt=None):
+                             dt=None, tail_s2d=False):
     """FusedCritic: (a) the hand-chained input gradient vs jax.grad of the
     plain Flax critic; (b) the WGAN-GP-style DOUBLE backward — grad wrt
     params of a loss containing the input-grad norm — fused vs plain.
@@ -425,7 +425,7 @@ def check_fused_critic_grads(image_size=256, b=2, rtol=0.08, seed=80,
     critic = make_critic(cfg)
     params = critic.init({"params": jax.random.key(seed)},
                          jnp.zeros((1, image_size, image_size, 1)))["params"]
-    fc = FusedCritic(cfg, compute_dtype=dt)
+    fc = FusedCritic(cfg, compute_dtype=dt, tail_s2d=tail_s2d)
     x = jax.random.uniform(jax.random.key(seed + 1),
                            (b, image_size, image_size, 1), jnp.float32)
 
@@ -435,11 +435,12 @@ def check_fused_critic_grads(image_size=256, b=2, rtol=0.08, seed=80,
     def plain_sum(x):
         return jnp.sum(critic.apply({"params": params}, x))
 
+    tag = " tail_s2d" if tail_s2d else ""
     dx_plain = jax.jit(jax.grad(plain_sum))(x)
     dx_fused = jax.jit(lambda x: fc.score_and_input_grad(params, x)[1])(x)
     dx_self = jax.jit(jax.grad(
         lambda x: jnp.sum(fc.forward(params, x))))(x)
-    _check_tree(f"critic input-grad self ({jnp.dtype(dt).name})",
+    _check_tree(f"critic input-grad self{tag} ({jnp.dtype(dt).name})",
                 (dx_fused,), (dx_self,), 1e-5 if dt == jnp.float32 else 0.02)
     # (a2) vs the PLAIN critic: a different program (s2d vs XLA conv
     # summation order -> different near-zero ReLU masks), so pointwise
@@ -449,11 +450,11 @@ def check_fused_critic_grads(image_size=256, b=2, rtol=0.08, seed=80,
     npl = jnp.linalg.norm(dx_plain.astype(jnp.float32))
     err = abs(float(nf) - float(npl)) / (float(npl) + 1e-12)
     ok = err <= rtol
-    print(f"{'ok ' if ok else 'FAIL'} critic input-grad norm vs plain "
+    print(f"{'ok ' if ok else 'FAIL'} critic input-grad norm vs plain{tag} "
           f"({jnp.dtype(dt).name}): rel err {err:.5f} (rtol {rtol})",
           flush=True)
     if not ok:
-        FAILS.append(("critic input-grad norm", err))
+        FAILS.append((f"critic input-grad norm{tag}", err))
 
     # (b) GP double backward wrt params
     def gp_fused(p):
@@ -480,10 +481,10 @@ def check_fused_critic_grads(image_size=256, b=2, rtol=0.08, seed=80,
                        for l in jax.tree.leaves(gp)))
     err = abs(float(nf) - float(np_)) / (float(np_) + 1e-9)
     ok = err <= rtol
-    print(f"{'ok ' if ok else 'FAIL'} critic GP double-bwd norm: rel err "
-          f"{err:.5f} (rtol {rtol})", flush=True)
+    print(f"{'ok ' if ok else 'FAIL'} critic GP double-bwd norm{tag}: rel "
+          f"err {err:.5f} (rtol {rtol})", flush=True)
     if not ok:
-        FAILS.append(("critic GP double-bwd norm", err))
+        FAILS.append((f"critic GP double-bwd norm{tag}", err))
 
 
 def check_superstep_trajectory(image_size=256, batch=4, rtol=0.05, seed=90):
@@ -535,25 +536,52 @@ def main():
     float(jax.jit(lambda v: (v @ v).sum())(jnp.ones((128, 128))))
     print(f"backend: {jax.default_backend()}", flush=True)
 
-    # generator level-1 shapes (256x256 image, first_fm 32)
-    check_conv3(128, 32, 32, 16)
-    check_conv3(128, 8, 32, 16, seed=20)   # entry conv (pad 8)
-    check_film(128, 32, 16)
-    check_conv3_fused2(128, 32, 32, 32, 16)
-    # generator level-2 shapes
-    check_conv3(64, 32, 64, 16, seed=30)
-    check_conv3(64, 64, 64, 16, seed=31)
-    check_film(64, 64, 16)
-    check_conv3_fused2(64, 64, 64, 64, 16)
-    # critic shapes
-    check_conv5(128, 4, 16, 16)
-    check_conv5(128, 16, 16, 16)
-    check_conv5(64, 16, 32, 16, seed=40)
-    check_conv5(64, 32, 32, 16, seed=41)
+    from depgan_tpu.ops import conv_s2d_pallas as csp
+
+    default_aligned = csp.ALIGNED_STAGING
+    default_packed = csp.CONV5_PACKED
+    # conv3 family — BOTH staging variants (ALIGNED_STAGING selects
+    # lane-aligned staging + weight row-block reversal; validate both
+    # codegens so the A/B flag flip is always chip-safe).
+    for aligned in (False, True):
+        csp.ALIGNED_STAGING = aligned
+        print(f"-- conv3 staging: {'aligned' if aligned else 'rotating'}",
+              flush=True)
+        # generator level-1 shapes (256x256 image, first_fm 32)
+        check_conv3(128, 32, 32, 16)
+        check_conv3(128, 8, 32, 16, seed=20)   # entry conv (pad 8)
+        check_film(128, 32, 16)
+        check_conv3_fused2(128, 32, 32, 32, 16)
+        # generator level-2 shapes
+        check_conv3(64, 32, 64, 16, seed=30)
+        check_conv3(64, 64, 64, 16, seed=31)
+        check_film(64, 64, 16)
+        check_conv3_fused2(64, 64, 64, 64, 16)
+        # critic tail_s2d shapes (dis_2/dis_3 at 64^2 pixel -> n=32):
+        # forward conv3 at c 32->64 / 64->64 plus the hand-chain's
+        # flip-transposed backward shape 64->32.
+        check_conv3(32, 32, 64, 16, seed=45)
+        check_conv3(32, 64, 64, 16, seed=46)
+        check_conv3(32, 64, 32, 16, seed=47)
+    csp.ALIGNED_STAGING = default_aligned
+    # critic shapes — both conv5 kernel variants (CONV5_PACKED selects the
+    # K-packed kernel for c4 <= 64; validate the packed AND dense codegen).
+    for packed in (True, False):
+        csp.CONV5_PACKED = packed
+        print(f"-- conv5 variant: {'packed' if packed else 'dense'}",
+              flush=True)
+        tag_seed = 0 if packed else 100
+        check_conv5(128, 4, 16, 16, seed=7 + tag_seed)
+        check_conv5(128, 16, 16, 16, seed=8 + tag_seed)
+        check_conv5(64, 16, 32, 16, seed=40 + tag_seed)
+        check_conv5(64, 32, 32, 16, seed=41 + tag_seed)
+    csp.CONV5_PACKED = default_packed
     # relayouts
     check_pools(128, 32)
     check_pools(64, 64)
     check_pools(128, 16)
+    check_pools(64, 32)   # critic L1->tail_s2d feed
+    check_pools(32, 64)   # critic tail_s2d -> pixel drain
     check_deconv(64, 64, 32)
     check_deconv(32, 96, 64)
     check_entry(128, 8)
@@ -572,22 +600,37 @@ def main():
     # film mode runs twice: f32 tight (the miscompile guard — masks are
     # bit-comparable) and bf16 loose (mask-flip rounding noise is O(1)
     # pointwise; see check_conv3_grad docstring).
-    check_conv3_grad(128, 32, 32, 16, mode="relu")
-    check_conv3_grad(128, 32, 32, 16, mode="film", dt=jnp.float32, rtol=0.02)
-    check_conv3_grad(128, 32, 32, 16, mode="film", rtol=0.25)
-    check_conv3_grad(128, 32, 32, 16, mode="none", seed=55)
-    check_conv3_grad(64, 64, 64, 16, mode="relu", seed=56)
-    check_conv3_grad(64, 64, 64, 16, mode="film", seed=57, dt=jnp.float32,
-                     rtol=0.02)
-    check_conv3_grad(64, 64, 64, 16, mode="film", seed=57, rtol=0.25)
-    check_conv2_grad(128, 32, 32, 32, 16)
-    check_conv2_grad(64, 64, 64, 64, 16, seed=65)
-    check_conv5_grad(128, 4, 16, 16)
-    check_conv5_grad(128, 16, 16, 16, seed=72)
-    check_conv5_grad(64, 16, 32, 16, seed=74)
-    check_conv5_grad(64, 32, 32, 16, seed=76)
+    for aligned in (False, True):
+        csp.ALIGNED_STAGING = aligned
+        print(f"-- conv3 grads, staging: "
+              f"{'aligned' if aligned else 'rotating'}", flush=True)
+        check_conv3_grad(128, 32, 32, 16, mode="relu")
+        check_conv3_grad(128, 32, 32, 16, mode="film", dt=jnp.float32,
+                         rtol=0.02)
+        check_conv3_grad(128, 32, 32, 16, mode="film", rtol=0.25)
+        check_conv3_grad(128, 32, 32, 16, mode="none", seed=55)
+        check_conv3_grad(64, 64, 64, 16, mode="relu", seed=56)
+        check_conv3_grad(64, 64, 64, 16, mode="film", seed=57,
+                         dt=jnp.float32, rtol=0.02)
+        check_conv3_grad(64, 64, 64, 16, mode="film", seed=57, rtol=0.25)
+        check_conv2_grad(128, 32, 32, 32, 16)
+        check_conv2_grad(64, 64, 64, 64, 16, seed=65)
+        check_conv3_grad(32, 32, 64, 16, mode="relu", seed=78)
+        check_conv3_grad(32, 64, 64, 16, mode="relu", seed=79)
+    csp.ALIGNED_STAGING = default_aligned
+    for packed in (True, False):
+        csp.CONV5_PACKED = packed
+        print(f"-- conv5 grads, variant: "
+              f"{'packed' if packed else 'dense'}", flush=True)
+        check_conv5_grad(128, 4, 16, 16)
+        check_conv5_grad(128, 16, 16, 16, seed=72)
+        check_conv5_grad(64, 16, 32, 16, seed=74)
+        check_conv5_grad(64, 32, 32, 16, seed=76)
+    csp.CONV5_PACKED = default_packed
     check_fused_critic_grads(dt=jnp.float32)   # pointwise chain, f32 guard
     check_fused_critic_grads()                 # bf16: GP-norm check
+    check_fused_critic_grads(dt=jnp.float32, tail_s2d=True)
+    check_fused_critic_grads(tail_s2d=True)
     check_superstep_trajectory()
 
     print(f"\n{len(FAILS)} failures", flush=True)

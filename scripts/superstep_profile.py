@@ -133,6 +133,30 @@ def main():
     timed("critic update plain (loss+param grads)",
           crit_update_plain, dparams, y2, fake, eps)
 
+    # tail_s2d variant of the full critic update (dis_2/dis_3 in s2d).
+    fct = FusedCritic(mcfg, compute_dtype=jnp.bfloat16, tail_s2d=True)
+
+    def crit_update_tail(c, p, real, fake, eps):
+        def loss_fn(p):
+            cf = lambda m: fct.forward(p, m)
+            igf = lambda m: fct.score_and_input_grad(p, m)[1]
+            l, _ = critic_step_loss(cf, real + 1e-20 * c, fake, eps, 10.0,
+                                    input_grad_fn=igf)
+            return l
+
+        l, g = jax.value_and_grad(loss_fn)(p)
+        return l + sum(jnp.sum(jnp.abs(t)) for t in jax.tree.leaves(g)) * 0.0
+
+    try:
+        timed("critic update fused tail_s2d", crit_update_tail,
+              dparams, y2, fake, eps)
+        timed("critic fwd fused tail_s2d",
+              lambda c, p, m: jnp.sum(fct.forward(p, m + 1e-20 * c)),
+              dparams, img)
+    except Exception as e:
+        print(f"tail_s2d update: FAILED {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:120]}", flush=True)
+
     # --- batch-scaling probes for the merged-critic design: if one batch-2B
     # update is much cheaper than two batch-B updates, stacking the two
     # critics into one vmapped update wins (they are independent: separate

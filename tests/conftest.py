@@ -22,6 +22,18 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is dominated by re-jitting the
+# same supersteps/kernels across test processes (~25 min cold). The cache
+# keys on HLO, so code changes invalidate exactly the affected programs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("DEPGAN_JAX_CACHE", "/tmp/jax_cache_depgan"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+try:  # CPU-backend caching is gated behind this knob in current jax
+    jax.config.update("jax_persistent_cache_enable_xla_caches",
+                      "xla_gpu_per_fusion_autotune_cache_dir")
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 

@@ -88,3 +88,54 @@ class TestInputGradChain:
         np.testing.assert_allclose(
             np.asarray(flat_f), np.asarray(flat_p), atol=5e-4,
         )
+
+
+class TestTailS2d:
+    """tail_s2d=True routes dis_2/dis_3 through the conv3 s2d kernel; the
+    whole contract (forward, param grads, input-grad chain, GP double
+    backward) must be preserved."""
+
+    @pytest.fixture(scope="class")
+    def fc2(self, setup):
+        cfg = setup[0]
+        return FusedCritic(cfg, strip=8, compute_dtype=jnp.float32,
+                           tail_s2d=True)
+
+    def test_forward_and_param_grads(self, setup, fc2):
+        cfg, model, params, _, x = setup
+        np.testing.assert_allclose(
+            np.asarray(fc2.forward(params, x)),
+            np.asarray(model.apply({"params": params}, x)), atol=1e-4,
+        )
+        gp_ = jax.grad(lambda p: jnp.sum(model.apply({"params": p}, x)))(params)
+        gf = jax.grad(lambda p: jnp.sum(fc2.forward(p, x)))(params)
+        flat_p, _ = ravel_pytree(gp_)
+        flat_f, _ = ravel_pytree(gf)
+        np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_p),
+                                   atol=5e-4)
+
+    def test_input_grad_and_gp_double_backward(self, setup, fc2):
+        cfg, model, params, _, x = setup
+        g_plain = jax.grad(
+            lambda x: jnp.sum(model.apply({"params": params}, x)))(x)
+        score, g_fused = fc2.score_and_input_grad(params, x)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_plain),
+                                   atol=1e-4)
+
+        def gp_fused(p):
+            _, g = fc2.score_and_input_grad(p, x)
+            n = jnp.sqrt(jnp.sum(jnp.square(g), axis=(1, 2, 3)))
+            return jnp.mean(jnp.square(n - 1.0))
+
+        def gp_plain(p):
+            g = jax.grad(
+                lambda m: jnp.sum(model.apply({"params": p}, m)))(x)
+            n = jnp.sqrt(jnp.sum(jnp.square(g), axis=(1, 2, 3)))
+            return jnp.mean(jnp.square(n - 1.0))
+
+        d_plain = jax.grad(gp_plain)(params)
+        d_fused = jax.grad(gp_fused)(params)
+        flat_p, _ = ravel_pytree(d_plain)
+        flat_f, _ = ravel_pytree(d_fused)
+        np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_p),
+                                   atol=5e-4)

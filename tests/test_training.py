@@ -191,30 +191,33 @@ class TestGanSuperstep:
         k = jax.random.key(7)
 
         results = []
-        for use_pallas in (False, True):
-            mcfg = dataclasses.replace(MODEL_CFG, use_pallas=use_pallas)
+        for use_pallas, tail in ((False, False), (True, False), (True, True)):
+            mcfg = dataclasses.replace(MODEL_CFG, use_pallas=use_pallas,
+                                       critic_tail_s2d=tail)
             tr = GanTrainer(mcfg, GAN_CFG, DataConfig())
             s0 = tr.init_state(jax.random.key(0))
             s1, metrics = tr.superstep(s0, x_all, y_all, idx, n_valid=2, key=k)
             results.append((s1, metrics))
-        (s_plain, m_plain), (s_fused, m_fused) = results
+        (s_plain, m_plain) = results[0]
 
-        for tree_a, tree_b in (
-            (s_plain.g_params, s_fused.g_params),
-            (s_plain.dy2_params, s_fused.dy2_params),
-            (s_plain.ddem_params, s_fused.ddem_params),
-        ):
-            jax.tree.map(
-                lambda a, b: np.testing.assert_allclose(
-                    np.asarray(a), np.asarray(b), atol=5e-3
-                ),
-                tree_a, tree_b,
+        for s_fused, m_fused in results[1:]:
+            for tree_a, tree_b in (
+                (s_plain.g_params, s_fused.g_params),
+                (s_plain.dy2_params, s_fused.dy2_params),
+                (s_plain.ddem_params, s_fused.ddem_params),
+            ):
+                jax.tree.map(
+                    lambda a, b: np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), atol=5e-3
+                    ),
+                    tree_a, tree_b,
+                )
+            np.testing.assert_allclose(
+                float(m_plain["gen"]["errG"]), float(m_fused["gen"]["errG"]),
+                rtol=0.05, atol=0.05,
             )
-        np.testing.assert_allclose(
-            float(m_plain["gen"]["errG"]), float(m_fused["gen"]["errG"]),
-            rtol=0.05, atol=0.05,
-        )
-        assert int(m_plain["best_noise_idx"]) == int(m_fused["best_noise_idx"])
+            assert int(m_plain["best_noise_idx"]) == int(
+                m_fused["best_noise_idx"])
 
     def test_batch_bn_mode_updates_generator_stats(self):
         """bn_mode='batch': the generator update uses batch statistics and
