@@ -17,7 +17,7 @@ import traceback
 
 sys.path.insert(0, ".")
 
-PHASES = ("validate", "micro", "critic", "superstep", "ab")
+PHASES = ("validate", "micro", "critic", "superstep", "ab", "roofline")
 
 
 def run_phase(name, fn):
@@ -63,6 +63,10 @@ def main():
         import ab_inference
 
         run_phase("ab_inference", ab_inference.main)
+    if "roofline" in want:
+        import roofline
+
+        run_phase("roofline", roofline.main)
 
 
 if __name__ == "__main__":
