@@ -67,6 +67,10 @@ def main():
         image_size=256, first_fm=32, n_input_channels=1,
         compute_dtype="bfloat16",
     )
+    # Module flags are mutated per measurement; restore the settled
+    # defaults on exit so later phases in the same process (onchip_session
+    # runs roofline after this) see the production configuration.
+    defaults = (csp.INTERLEAVED_STAGING, csp.ALIGNED_STAGING)
     _, variables = init_generator(cfg, jax.random.key(0))
     # Round-3 settled knobs: interleaved staging on, head fusion off.
     # Current A/B: lane-aligned staging (weight row-block reversal) vs the
@@ -85,6 +89,7 @@ def main():
         v = measure(variables, True, False, aligned=True, strip=strip)
         print(f"aligned=1 interleaved=1 strip={strip} -> {v:8.1f} slices/s",
               flush=True)
+    csp.INTERLEAVED_STAGING, csp.ALIGNED_STAGING = defaults
 
 
 if __name__ == "__main__":

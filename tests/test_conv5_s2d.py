@@ -81,3 +81,32 @@ class TestConv5Gradients:
             float(jnp.sum(jnp.abs(w9))), 4 * float(jnp.sum(jnp.abs(w5))),
             rtol=1e-5,
         )
+
+
+class TestConv5Packed:
+    def test_packed_codegen_matches_dense(self, monkeypatch):
+        """CONV5_PACKED=True (one K=9*4C matmul per strip over a
+        lane-concatenated 9-tap staging buffer) is a pure codegen change:
+        outputs must match the dense 9-matmul kernel to
+        accumulation-order rounding (one wide matmul sums the taps in a
+        different order)."""
+        from depgan_tpu.ops import conv_s2d_pallas as csp
+
+        x, w5, b5 = _data(h=32, ci=4, co=16)
+        outs = []
+        for packed in (False, True):
+            monkeypatch.setattr(csp, "CONV5_PACKED", packed)
+            outs.append(np.asarray(_fused(x, w5, b5)))
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+
+    def test_packed_gate_leaves_wide_channels_dense(self, monkeypatch):
+        """c4 > 64 widths must keep the dense kernel (the 9x staging buffer
+        is only VMEM-affordable/profitable below the MXU's native K)."""
+        from depgan_tpu.ops import conv_s2d_pallas as csp
+
+        x, w5, b5 = _data(h=32, ci=32, co=8)  # c4 = 128 > 64
+        monkeypatch.setattr(csp, "CONV5_PACKED", True)
+        np.testing.assert_allclose(
+            np.asarray(_fused(x, w5, b5)), np.asarray(_ref(x, w5, b5)),
+            atol=1e-5,
+        )

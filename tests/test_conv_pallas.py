@@ -98,3 +98,49 @@ def test_chained_convs(rng):
     y = conv3x3_s2d_fused(h, jnp.asarray(w24), jnp.asarray(np.tile(b0, 4)))
     np.testing.assert_allclose(np.asarray(from_padded_s2d(y)), np.asarray(ref),
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["relu", "none", "film"])
+def test_aligned_staging_codegen_matches_rotating(rng, mode, monkeypatch):
+    """ALIGNED_STAGING=True (lane-aligned staging + static weight row-block
+    reversal) is a pure codegen change: outputs must be bit-comparable to
+    the default rotating staging for every epilogue mode."""
+    from depgan_tpu.ops import conv_s2d_pallas as csp
+
+    b_sz, hw, c = 2, 16, 8
+    x = jnp.asarray(rng.normal(size=(b_sz, hw, hw, c)).astype(np.float32))
+    w = rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.2
+    bias = rng.normal(size=(c,)).astype(np.float32)
+    w4, b4 = S.conv3x3_to_s2d_kernel(w, bias)
+    gm = jnp.asarray(np.tile(rng.normal(size=(b_sz, c)).astype(np.float32),
+                             (1, 4)))
+    bt = jnp.asarray(np.tile(rng.normal(size=(b_sz, c)).astype(np.float32),
+                             (1, 4)))
+    args = ((gm, bt) if mode == "film" else (None, None))
+    outs = []
+    for aligned in (False, True):
+        monkeypatch.setattr(csp, "ALIGNED_STAGING", aligned)
+        outs.append(np.asarray(conv3x3_s2d_fused(
+            to_padded_s2d(x), jnp.asarray(w4), jnp.asarray(b4),
+            *args, mode=mode)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+
+
+def test_aligned_staging_fused2_matches(rng, monkeypatch):
+    from depgan_tpu.ops import conv_s2d_pallas as csp
+    from depgan_tpu.ops.conv_s2d_pallas import conv3x3_s2d_fused2
+
+    x1 = jnp.asarray(rng.normal(size=(1, 16, 16, 8)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(1, 16, 16, 8)).astype(np.float32))
+    w1 = rng.normal(size=(3, 3, 8, 8)).astype(np.float32) * 0.2
+    w2 = rng.normal(size=(3, 3, 8, 8)).astype(np.float32) * 0.2
+    b = rng.normal(size=(8,)).astype(np.float32)
+    w14, b4 = S.conv3x3_to_s2d_kernel(w1, b)
+    w24, _ = S.conv3x3_to_s2d_kernel(w2)
+    outs = []
+    for aligned in (False, True):
+        monkeypatch.setattr(csp, "ALIGNED_STAGING", aligned)
+        outs.append(np.asarray(conv3x3_s2d_fused2(
+            to_padded_s2d(x1), to_padded_s2d(x2),
+            jnp.asarray(w14), jnp.asarray(w24), jnp.asarray(b4))))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
