@@ -89,6 +89,15 @@ def main():
         v = measure(variables, True, False, aligned=True, strip=strip)
         print(f"aligned=1 interleaved=1 strip={strip} -> {v:8.1f} slices/s",
               flush=True)
+    # batch sweep: 256 was the round-2 optimum; check the amortisation
+    # curve hasn't moved past it.
+    global BATCH
+    for batch in (512,):
+        prev, BATCH = BATCH, batch
+        v = measure(variables, True, False, aligned=True)
+        print(f"aligned=1 interleaved=1 batch={batch} -> {v:8.1f} slices/s",
+              flush=True)
+        BATCH = prev
     csp.INTERLEAVED_STAGING, csp.ALIGNED_STAGING = defaults
 
 
