@@ -157,6 +157,24 @@ def main():
         print(f"tail_s2d update: FAILED {type(e).__name__}: "
               f"{str(e).splitlines()[0][:120]}", flush=True)
 
+    # CONV5_PACKED variants of the full critic update (front convs run one
+    # K=9*4C matmul per strip) — alone and combined with tail_s2d. The
+    # decision quantity for both flags is THIS row (the update runs 10x per
+    # superstep), not the per-kernel micro-benches.
+    from depgan_tpu.ops import conv_s2d_pallas as csp
+
+    prev_packed = csp.CONV5_PACKED
+    csp.CONV5_PACKED = True
+    try:
+        timed("critic update fused conv5-packed",
+              crit_update_fused, dparams, y2, fake, eps)
+        timed("critic update fused packed+tail_s2d",
+              crit_update_tail, dparams, y2, fake, eps)
+    except Exception as e:
+        print(f"conv5-packed update: FAILED {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:120]}", flush=True)
+    csp.CONV5_PACKED = prev_packed
+
     # --- batch-scaling probes for the merged-critic design: if one batch-2B
     # update is much cheaper than two batch-B updates, stacking the two
     # critics into one vmapped update wins (they are independent: separate
