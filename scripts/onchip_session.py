@@ -17,7 +17,8 @@ import traceback
 
 sys.path.insert(0, ".")
 
-PHASES = ("validate", "micro", "critic", "superstep", "ab", "roofline")
+PHASES = ("validate", "micro", "critic", "superstep", "ab", "roofline",
+          "anatomy")
 
 
 def run_phase(name, fn):
@@ -67,6 +68,10 @@ def main():
         import roofline
 
         run_phase("roofline", roofline.main)
+    if "anatomy" in want:
+        import kernel_anatomy
+
+        run_phase("kernel_anatomy", kernel_anatomy.main)
 
 
 if __name__ == "__main__":
