@@ -117,15 +117,45 @@ class UResNetTrainer:
         return step
 
     def _build_val_step(self):
+        """Validation CCE over the whole val set, computed in fixed-size
+        chunks via ``lax.map`` so peak activation memory stays at one
+        chunk's forward (the reference evaluates the full val set in one
+        ``model.fit`` validation pass, :601 — fine at its ~2% val split,
+        but unbatched it would OOM at larger fractions). Numerics are
+        exact: per-chunk masked CE *sums* divided by the true element
+        count reproduce the single-apply mean bit-for-bit in f32 up to
+        summation order."""
         model = self.model
+        chunk = max(1, int(self.train_cfg.batch_size))
 
         @jax.jit
         def val_step(state, x, noise, y):
-            out = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                x, noise, train=False,
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            n = x.shape[0]
+            n_chunks = -(-n // chunk)
+            pad = n_chunks * chunk - n
+            xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+            np_ = jnp.pad(noise, ((0, pad),) + ((0, 0),) * (noise.ndim - 1))
+            yp = jnp.pad(y, ((0, pad),) + ((0, 0),) * (y.ndim - 1))
+            valid = (jnp.arange(n_chunks * chunk) < n).astype(jnp.float32)
+
+            def chunk_ce_sum(args):
+                xc, nc, yc, mc = args
+                out = model.apply(variables, xc, nc, train=False)
+                probs = jnp.clip(out, KERAS_EPS, 1.0)
+                ce = -jnp.sum(yc * jnp.log(probs), axis=-1)
+                return jnp.sum(ce * mc.reshape((-1,) + (1,) * (ce.ndim - 1)))
+
+            sums = jax.lax.map(
+                chunk_ce_sum,
+                (xp.reshape((n_chunks, chunk) + x.shape[1:]),
+                 np_.reshape((n_chunks, chunk) + noise.shape[1:]),
+                 yp.reshape((n_chunks, chunk) + y.shape[1:]),
+                 valid.reshape(n_chunks, chunk)),
             )
-            return categorical_crossentropy(out, y)
+            n_elem = n * int(np.prod(y.shape[1:-1]))
+            return jnp.sum(sums) / n_elem
 
         return val_step
 

@@ -372,6 +372,33 @@ class TestUResNetTrainer:
         assert np.loadtxt(tmp_path / "loss.txt").shape == (2,)
         assert ckpts == [0, 1]  # checkpoint_every=1 (reference saves each epoch)
 
+    def test_chunked_val_step_matches_single_apply(self):
+        """The lax.map-chunked val CCE (memory = one chunk's forward) must
+        equal the whole-set single-apply mean, including at a val size
+        that does NOT divide the chunk size (masked remainder)."""
+        from depgan_tpu.train.uresnet_trainer import categorical_crossentropy
+
+        cfg = ModelConfig(image_size=SZ, first_fm=4, n_out=4, dropout_mode="none")
+        trainer = UResNetTrainer(cfg, UResNetTrainConfig(batch_size=4))
+        state = trainer.init_state(jax.random.key(0))
+        rng = np.random.default_rng(1)
+        n = 7  # 2 chunks of 4, one padded element masked out
+        x = jnp.asarray(rng.normal(size=(n, SZ, SZ, 1)).astype(np.float32))
+        noise = jnp.asarray(rng.normal(size=(n, 32, 1)).astype(np.float32))
+        labels = np.digitize(np.asarray(x), [0.0]).astype(np.int32)
+        from depgan_tpu.data.preprocess import one_hot
+
+        y = jnp.asarray(
+            one_hot(labels, 4).astype(np.float32).reshape(labels.shape[:-1] + (4,))
+        )
+        chunked = float(trainer._val_step(state, x, noise, y))
+        out = trainer.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, noise, train=False,
+        )
+        single = float(categorical_crossentropy(out, y))
+        assert chunked == pytest.approx(single, rel=1e-6)
+
     def test_categorical_crossentropy_matches_reference_def(self):
         from depgan_tpu.train.uresnet_trainer import categorical_crossentropy
 
