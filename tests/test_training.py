@@ -238,8 +238,9 @@ class TestGanSuperstep:
         after = np.asarray(state.g_stats["block_gen_0"]["bn_gen_0"]["mean"])
         assert np.max(np.abs(after - before)) > 0
 
-    def test_frozen_bn_mode_keeps_stats(self):
-        trainer = GanTrainer(MODEL_CFG, GAN_CFG, DataConfig())  # frozen
+    def test_frozen_bn_mode_keeps_stats(self, trainer):
+        # default bn_mode is 'frozen' — reuse the class fixture's compiled
+        # superstep instead of re-jitting an identical trainer (Weak r2#8).
         state = trainer.init_state(jax.random.key(0))
         before = np.asarray(state.g_stats["block_gen_0"]["bn_gen_0"]["mean"]).copy()
         x, y = synth_gan_data(12)
