@@ -27,10 +27,12 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 _CHILD_ENV = "DEPGAN_BENCH_CHILD"
 _DEADLINE_S = 900
 _ATTEMPTS = 3
+_RETRY_WAIT_S = 60  # the wedge playbook: kill by PID, wait ~60 s, retry
 
 
 def _run_child() -> None:
@@ -56,6 +58,8 @@ def main() -> None:
         except subprocess.TimeoutExpired:
             last_err = f"attempt {attempt}: wedged (no result in {_DEADLINE_S}s)"
             print(last_err, file=sys.stderr, flush=True)
+            if attempt < _ATTEMPTS:
+                time.sleep(_RETRY_WAIT_S)
             continue
         # Forward the child's single JSON line (last stdout line).
         lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
@@ -65,6 +69,8 @@ def main() -> None:
         last_err = (f"attempt {attempt}: exit={proc.returncode} "
                     f"stderr tail: {proc.stderr[-800:]}")
         print(last_err, file=sys.stderr, flush=True)
+        if attempt < _ATTEMPTS:
+            time.sleep(_RETRY_WAIT_S)
     raise SystemExit(f"bench failed after {_ATTEMPTS} attempts — {last_err}")
 
 

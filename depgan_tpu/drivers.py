@@ -164,7 +164,7 @@ def run_gan_training_multifold(
 
     states, counters = trainer.fit(
         states, per_fold, per_fold_val=per_fold_val, logger=logger,
-        checkpoint_fn=checkpoint_fn, counters=counters,
+        checkpoint_fn=checkpoint_fn, counters=counters, fold_ids=folds,
     )
     ckpt.save(counters.gen_iterations, states, counters)
     ckpt.close()

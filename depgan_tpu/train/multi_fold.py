@@ -139,7 +139,8 @@ class MultiFoldGanTrainer:
 
     def fit(self, states, per_fold_data, per_fold_val=None,
             n_epochs: int | None = None, logger=None, checkpoint_fn=None,
-            seed: int | None = None, counters: Counters | None = None):
+            seed: int | None = None, counters: Counters | None = None,
+            fold_ids=None):
         """Train all folds concurrently.
 
         ``per_fold_data``: list of (x_train, y_train) per fold.
@@ -147,10 +148,18 @@ class MultiFoldGanTrainer:
         the reference's validation streams (scores every ``validate_every``
         gen-iters, images every ``image_log_every``, reference :842-865),
         emitted per fold under ``fold{k}/`` with the exact sequential-trainer
-        tag set. ``counters`` resumes from a restored checkpoint.
+        tag set. ``fold_ids`` gives the actual fold numbers behind each
+        stacked position (so a ``--folds 3 4`` run logs under fold3/fold4,
+        matching the driver's initial-image namespaces); default 1..F.
+        ``counters`` resumes from a restored checkpoint.
         Returns the final stacked states and the shared counters.
         """
         cfg = self.cfg
+        fold_ids = (tuple(fold_ids) if fold_ids is not None
+                    else tuple(range(1, self.n_folds + 1)))
+        if len(fold_ids) != self.n_folds:
+            raise ValueError(
+                f"fold_ids has {len(fold_ids)} entries for {self.n_folds} folds")
         n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
         key = jax.random.key(seed if seed is not None else cfg.seed)
         x_all, y_all, n = self.stack_fold_data(per_fold_data)
@@ -196,7 +205,8 @@ class MultiFoldGanTrainer:
                 for f in range(self.n_folds):
                     metrics_f = jax.tree.map(lambda a: np.asarray(a)[f], metrics)
                     log_superstep_metrics(
-                        log, metrics_f, counters, n_valid, prefix=f"fold{f + 1}/"
+                        log, metrics_f, counters, n_valid,
+                        prefix=f"fold{fold_ids[f]}/",
                     )
                 timer.step()
                 if logger is not None and gi % 10 == 0:
@@ -211,7 +221,7 @@ class MultiFoldGanTrainer:
                         np.asarray(d_fake), np.asarray(d_real), np.asarray(d_gen)
                     )
                     for f in range(self.n_folds):
-                        pre = f"fold{f + 1}/"
+                        pre = f"fold{fold_ids[f]}/"
                         log(pre + "val_D_fake_loss", float(d_fake[f]), gi)
                         log(pre + "val_D_real_loss", float(d_real[f]), gi)
                         log(pre + "val_D_real_generated_loss", float(d_gen[f]), gi)
@@ -220,7 +230,7 @@ class MultiFoldGanTrainer:
                         dems = np.asarray(dems)  # (F, n_val, H, W, 1)
                         y1 = np.asarray(xv)[..., :1]
                         for f in range(self.n_folds):
-                            pre = f"fold{f + 1}/"
+                            pre = f"fold{fold_ids[f]}/"
                             logger.log_images(
                                 f"{pre}attributed_img_step{gi}",
                                 dems[f, :k_img], gi,

@@ -72,33 +72,40 @@ def main():
     # runs roofline after this) see the production configuration.
     defaults = (csp.INTERLEAVED_STAGING, csp.ALIGNED_STAGING)
     _, variables = init_generator(cfg, jax.random.key(0))
-    # Round-3 settled knobs: interleaved staging on, head fusion off.
-    # Current A/B: lane-aligned staging (weight row-block reversal) vs the
-    # classic lane-rotating staged-u2s, under both staging schedules.
-    for aligned in (False, True):
-        for interleaved in (False, True):
-            v = measure(variables, interleaved, False, aligned=aligned)
-            print(
-                f"aligned={int(aligned)} interleaved={int(interleaved)}"
-                f" -> {v:8.1f} slices/s",
-                flush=True,
-            )
-    # strip sweep under the aligned+interleaved config (the round-2
-    # optimum was 16 with rotating staging; aligned may shift it).
-    for strip in (8, 32):
-        v = measure(variables, True, False, aligned=True, strip=strip)
-        print(f"aligned=1 interleaved=1 strip={strip} -> {v:8.1f} slices/s",
-              flush=True)
-    # batch sweep: 256 was the round-2 optimum; check the amortisation
-    # curve hasn't moved past it.
     global BATCH
-    for batch in (512,):
-        prev, BATCH = BATCH, batch
-        v = measure(variables, True, False, aligned=True)
-        print(f"aligned=1 interleaved=1 batch={batch} -> {v:8.1f} slices/s",
-              flush=True)
-        BATCH = prev
-    csp.INTERLEAVED_STAGING, csp.ALIGNED_STAGING = defaults
+    prev_batch = BATCH
+    # try/finally: onchip_session runs roofline/anatomy AFTER this phase in
+    # the same process and its runner swallows exceptions — a failed
+    # measure() (e.g. a Mosaic rejection of an experimental codegen) must
+    # not leave the module flags on a non-default configuration.
+    try:
+        # Round-3 settled knobs: interleaved staging on, head fusion off.
+        # Current A/B: lane-aligned staging (weight row-block reversal) vs
+        # the classic lane-rotating staged-u2s, under both schedules.
+        for aligned in (False, True):
+            for interleaved in (False, True):
+                v = measure(variables, interleaved, False, aligned=aligned)
+                print(
+                    f"aligned={int(aligned)} interleaved={int(interleaved)}"
+                    f" -> {v:8.1f} slices/s",
+                    flush=True,
+                )
+        # strip sweep under the aligned+interleaved config (the round-2
+        # optimum was 16 with rotating staging; aligned may shift it).
+        for strip in (8, 32):
+            v = measure(variables, True, False, aligned=True, strip=strip)
+            print(f"aligned=1 interleaved=1 strip={strip} -> {v:8.1f} "
+                  f"slices/s", flush=True)
+        # batch sweep: 256 was the round-2 optimum; check the amortisation
+        # curve hasn't moved past it.
+        for batch in (512,):
+            BATCH = batch
+            v = measure(variables, True, False, aligned=True)
+            print(f"aligned=1 interleaved=1 batch={batch} -> {v:8.1f} "
+                  f"slices/s", flush=True)
+    finally:
+        BATCH = prev_batch
+        csp.INTERLEAVED_STAGING, csp.ALIGNED_STAGING = defaults
 
 
 if __name__ == "__main__":

@@ -41,22 +41,28 @@ N_SCAN = 16
 DT = jnp.bfloat16
 
 
-def timed(name, fn, *args):
+def timed(name, fn, x, *args):
+    """fn(x, *args) -> array; x is the chained operand (kernel_micro.py
+    pattern). The carry feeds back into fn's first argument so scan
+    iterations serialise (a body with no carry dependency is loop-invariant
+    and XLA hoists it — the measurement would be up to N_SCAN x too fast),
+    and all operands ride as jit arguments, never closures (docs/PERF.md
+    HTTP-413 rule)."""
+
     @jax.jit
-    def run(args):
-        def body(c, _):
-            out = fn(*jax.tree.map(lambda a: a, args))
-            s = jnp.sum(out).astype(jnp.float32)
-            return c + 1e-30 * s, ()
+    def run(x, args):
+        def body(carry, _):
+            out = fn(carry, *args)
+            return carry + 1e-30 * jnp.sum(out).astype(carry.dtype), ()
 
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=N_SCAN)
-        return c
+        c, _ = jax.lax.scan(body, x, None, length=N_SCAN)
+        return jnp.sum(c.astype(jnp.float32))
 
-    float(run(args))
+    float(run(x, args))
     reps = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(run(args))
+        float(run(x, args))
         reps.append(time.perf_counter() - t0)
     ms = min(reps) / N_SCAN * 1e3
     print(f"{name:46s} {ms:8.3f} ms", flush=True)
@@ -75,14 +81,15 @@ def main():
     fc = FusedCritic(mcfg, compute_dtype=DT)
     x = jax.random.uniform(jax.random.key(2), (B, 256, 256, 1))
 
-    timed("critic fwd fused (front+tail)", lambda: fc.forward(params, x))
+    timed("critic fwd fused (front+tail)",
+          lambda x, p: fc.forward(p, x), x, params)
     timed("critic fwd plain (whole XLA)",
-          lambda: critic.apply({"params": params}, x))
+          lambda x, p: critic.apply({"params": p}, x), x, params)
     timed("front only (entry + conv5 L0-1 + pools)",
-          lambda: fc._front(params, x)[0])
+          lambda x, p: fc._front(p, x)[0], x, params)
     pix = jax.jit(lambda p, x: fc._front(p, x)[0])(params, x)
     timed("tail only (dis_2..9 + dense, XLA)",
-          lambda: fc._tail(params, pix))
+          lambda pix, p: fc._tail(p, pix), pix, params)
 
     # individual fused conv5 kernels at critic shapes
     def leaf(block, name):
@@ -96,23 +103,17 @@ def main():
     k1a, b1a = leaf("block_dis_1a", "conv2d_dis_1a")
     k1b, b1b = leaf("block_dis_1b", "conv2d_dis_1b")
 
-    h0a = jax.jit(lambda xp: conv5x5_s2d_fused(xp, k0a.astype(DT), b0a,
-                                               strip=16))(xp)
-    timed("conv5 dis_0a (n=128, c4=16->64)",
-          lambda: conv5x5_s2d_fused(xp, k0a.astype(DT), b0a, strip=16))
-    timed("conv5 dis_0b (n=128, c4=64->64)",
-          lambda: conv5x5_s2d_fused(h0a, k0b.astype(DT), b0b, strip=16))
+    conv5 = lambda x, k, b: conv5x5_s2d_fused(x, k, b, strip=16)
+    k0a, k0b, k1a, k1b = (k.astype(DT) for k in (k0a, k0b, k1a, k1b))
+    h0a = jax.jit(conv5)(xp, k0a, b0a)
+    timed("conv5 dis_0a (n=128, c4=16->64)", conv5, xp, k0a, b0a)
+    timed("conv5 dis_0b (n=128, c4=64->64)", conv5, h0a, k0b, b0b)
     hp = jax.jit(pool_to_s2d_pallas)(h0a)
-    timed("pool_to_s2d L0->1 (n=128, c4=64)",
-          lambda: pool_to_s2d_pallas(h0a))
-    h1a = jax.jit(lambda hp: conv5x5_s2d_fused(hp, k1a.astype(DT), b1a,
-                                               strip=16))(hp)
-    timed("conv5 dis_1a (n=64, c4=64->128)",
-          lambda: conv5x5_s2d_fused(hp, k1a.astype(DT), b1a, strip=16))
-    timed("conv5 dis_1b (n=64, c4=128->128)",
-          lambda: conv5x5_s2d_fused(h1a, k1b.astype(DT), b1b, strip=16))
-    timed("pool_s2d L1->pix (n=64, c4=128)",
-          lambda: pool_s2d_pallas(h1a))
+    timed("pool_to_s2d L0->1 (n=128, c4=64)", pool_to_s2d_pallas, h0a)
+    h1a = jax.jit(conv5)(hp, k1a, b1a)
+    timed("conv5 dis_1a (n=64, c4=64->128)", conv5, hp, k1a, b1a)
+    timed("conv5 dis_1b (n=64, c4=128->128)", conv5, h1a, k1b, b1b)
+    timed("pool_s2d L1->pix (n=64, c4=128)", pool_s2d_pallas, h1a)
 
     # CONV5_PACKED A/B: the K-packed kernel (one K=9*4C matmul per strip)
     # vs the dense 9-matmul default, per kernel and whole-critic.
@@ -123,19 +124,16 @@ def main():
         csp.CONV5_PACKED = packed
         tag = "packed" if packed else "dense "
         try:
-            timed(f"conv5 dis_0a {tag} (n=128, c4=16->64)",
-                  lambda: conv5x5_s2d_fused(xp, k0a.astype(DT), b0a,
-                                            strip=16))
-            timed(f"conv5 dis_0b {tag} (n=128, c4=64->64)",
-                  lambda: conv5x5_s2d_fused(h0a, k0b.astype(DT), b0b,
-                                            strip=16))
-            timed(f"conv5 dis_1a {tag} (n=64, c4=64->128)",
-                  lambda: conv5x5_s2d_fused(hp, k1a.astype(DT), b1a,
-                                            strip=16))
+            timed(f"conv5 dis_0a {tag} (n=128, c4=16->64)", conv5,
+                  xp, k0a, b0a)
+            timed(f"conv5 dis_0b {tag} (n=128, c4=64->64)", conv5,
+                  h0a, k0b, b0b)
+            timed(f"conv5 dis_1a {tag} (n=64, c4=64->128)", conv5,
+                  hp, k1a, b1a)
             timed(f"critic fwd fused {tag}",
-                  lambda: fc.forward(params, x))
+                  lambda x, p: fc.forward(p, x), x, params)
             timed(f"critic fwd+input-grad {tag}",
-                  lambda: fc.score_and_input_grad(params, x)[1])
+                  lambda x, p: fc.score_and_input_grad(p, x)[1], x, params)
         except Exception as e:
             print(f"conv5 {tag} A/B: FAILED {type(e).__name__}: "
                   f"{str(e).splitlines()[0][:120]}", flush=True)
@@ -148,35 +146,40 @@ def main():
             dimension_numbers=("NHWC", "HWIO", "NHWC")) + b.astype(DT)
         return jax.nn.relu(y)
 
-    timed("XLA conv5 dis_0b (256^2, 16->16ch)",
-          lambda: xla_conv(jnp.zeros((B, 256, 256, 16), DT), k0b, b0b))
-    timed("XLA conv5 dis_1b (128^2, 32->32ch)",
-          lambda: xla_conv(jnp.zeros((B, 128, 128, 32), DT), k1b, b1b))
+    def rand(n, c, seed):
+        return jax.random.normal(jax.random.key(seed), (B, n, n, c), DT)
+
+    # NB: the original Keras kernels, not the padded/s2d-transformed ones.
+    k0b_px, _ = leaf("block_dis_0b", "conv2d_dis_0b")
+    k1b_px, _ = leaf("block_dis_1b", "conv2d_dis_1b")
+    timed("XLA conv5 dis_0b (256^2, 16->16ch)", xla_conv,
+          rand(256, 16, 10), k0b_px, b0b)
+    timed("XLA conv5 dis_1b (128^2, 32->32ch)", xla_conv,
+          rand(128, 32, 11), k1b_px, b1b)
 
     # Tail stage costs in XLA
     k2, b2 = leaf("block_dis_2", "conv2d_dis_2")
-    timed("XLA conv3 dis_2 (64^2, 32->64ch)",
-          lambda: xla_conv(jnp.zeros((B, 64, 64, 32), DT), k2, b2))
+    timed("XLA conv3 dis_2 (64^2, 32->64ch)", xla_conv,
+          rand(64, 32, 12), k2, b2)
     k4, b4 = leaf("block_dis_4", "conv2d_dis_4")
-    timed("XLA conv3 dis_4 (32^2, 64->128ch)",
-          lambda: xla_conv(jnp.zeros((B, 32, 32, 64), DT), k4, b4))
+    timed("XLA conv3 dis_4 (32^2, 64->128ch)", xla_conv,
+          rand(32, 64, 13), k4, b4)
     k6, b6 = leaf("block_dis_6", "conv2d_dis_6")
-    timed("XLA conv3 dis_6 (16^2, 128->256ch)",
-          lambda: xla_conv(jnp.zeros((B, 16, 16, 128), DT), k6, b6))
+    timed("XLA conv3 dis_6 (16^2, 128->256ch)", xla_conv,
+          rand(16, 128, 14), k6, b6)
 
     # s2d candidate for dis_2/dis_3 (64^2 pixel -> n=32, c4=128->256):
+    conv3 = lambda x, w, b: conv3x3_s2d_fused(x, w, b, mode="relu", strip=16)
     w4, bias4 = S.conv3x3_to_s2d_kernel_j(k2, b2)
-    xs2d = pad_s2d(S.s2d_unshifted(jnp.zeros((B, 64, 64, 32), DT)))
+    xs2d = pad_s2d(S.s2d_unshifted(rand(64, 32, 15)))
     try:
-        timed("s2d conv3 dis_2 (n=32, c4=128->256)",
-              lambda: conv3x3_s2d_fused(xs2d, w4.astype(DT), bias4,
-                                        mode="relu", strip=16))
+        timed("s2d conv3 dis_2 (n=32, c4=128->256)", conv3,
+              xs2d, w4.astype(DT), bias4)
         k3, b3 = leaf("block_dis_3", "conv2d_dis_3")
         w4_3, bias4_3 = S.conv3x3_to_s2d_kernel_j(k3, b3)
-        xs2d3 = pad_s2d(S.s2d_unshifted(jnp.zeros((B, 64, 64, 64), DT)))
-        timed("s2d conv3 dis_3 (n=32, c4=256->256)",
-              lambda: conv3x3_s2d_fused(xs2d3, w4_3.astype(DT), bias4_3,
-                                        mode="relu", strip=16))
+        xs2d3 = pad_s2d(S.s2d_unshifted(rand(64, 64, 16)))
+        timed("s2d conv3 dis_3 (n=32, c4=256->256)", conv3,
+              xs2d3, w4_3.astype(DT), bias4_3)
     except Exception as e:
         print(f"s2d conv3 dis_2/3: FAILED {type(e).__name__}: "
               f"{str(e).splitlines()[0][:120]}", flush=True)
@@ -187,11 +190,11 @@ def main():
     fc_t = FusedCritic(mcfg, compute_dtype=DT, tail_s2d=True)
     try:
         timed("critic fwd fused tail_s2d",
-              lambda: fc_t.forward(params, x))
+              lambda x, p: fc_t.forward(p, x), x, params)
         timed("critic fwd+input-grad (tail_s2d=False)",
-              lambda: fc.score_and_input_grad(params, x)[1])
+              lambda x, p: fc.score_and_input_grad(p, x)[1], x, params)
         timed("critic fwd+input-grad (tail_s2d=True)",
-              lambda: fc_t.score_and_input_grad(params, x)[1])
+              lambda x, p: fc_t.score_and_input_grad(p, x)[1], x, params)
     except Exception as e:
         print(f"tail_s2d A/B: FAILED {type(e).__name__}: "
               f"{str(e).splitlines()[0][:120]}", flush=True)
@@ -201,7 +204,7 @@ def main():
         try:
             fcs = FusedCritic(mcfg, strip=st, compute_dtype=DT)
             timed(f"critic fwd fused strip={st}",
-                  lambda fcs=fcs: fcs.forward(params, x))
+                  lambda x, p, fcs=fcs: fcs.forward(p, x), x, params)
         except Exception as e:
             print(f"strip={st}: FAILED {type(e).__name__}: "
                   f"{str(e).splitlines()[0][:120]}", flush=True)

@@ -3,14 +3,22 @@
 Runs the REAL GanTrainer.fit_fold (use_pallas, bf16) on a synthetic fold of
 reference size — 4,800 train slices at 256x256 (SURVEY §6; reference
 `...twoCritics_training_4fold.py:36-43` trains 200 epochs x 4 folds, batch
-16, D=5, warm-up D=100) — for two epochs, and extrapolates the full
-schedule from measured quantities only:
+16, D=5, warm-up D=100) — and extrapolates the full schedule from measured
+quantities only. Two measurement phases, each 2 epochs (epoch 1 absorbs
+that phase's superstep compile, epoch 2 is the measurement):
 
-- epoch 2 wall => steady-state superstep cost s5 (all D=5),
-- epoch 1 wall => warm-up superstep cost s100 (its first 25 supersteps run
-  D=100, reference :792-797),
-- the exact warm-up recurrence (every 500 gen iters) is counted over the
-  200-epoch schedule.
+- steady phase: counters seeded PAST warm-up (gen_iterations = warmup_until)
+  so every superstep runs D=5  => s5 = epoch2_wall / supersteps_per_epoch;
+- warm phase: fresh counters, so the epoch is D=100 supersteps (at the
+  default sizes warm-up spans ~8 epochs: 300 batches/epoch at 100 batches
+  per warm superstep = 3 supersteps, gen_iterations reaches only 6 by the
+  end of epoch 2) => s100 solved from epoch2_wall with the exact per-epoch
+  warm/steady step counts (schedule simulator below), using s5 for any
+  steady steps that slip into the epoch at non-default sizes.
+
+The projection then prices the reference's EXACT schedule — warm-up while
+gen_iterations < 25 plus the every-500-gen-iters re-warm, epoch tails
+masked — by simulating the counter evolution over all 200 epochs.
 
 Completion is forced per epoch by fetching a dependent scalar from the
 state (docs/PERF.md: block_until_ready lies on this backend).
@@ -36,6 +44,32 @@ EPOCHS_TOTAL = int(sys.argv[2]) if len(sys.argv) > 2 else 200
 IMG = 256
 
 
+def epoch_schedule(tcfg, n_batches: int, gi0: int, n_epochs: int):
+    """Simulate the counter evolution (gan_trainer._d_iters_for + the
+    while-i<n_batches superstep loop of fit_fold) and return per-epoch
+    (n_warm, n_steady) superstep counts. A masked epoch-tail superstep
+    still executes its full D iterations (lax.scan with a valid mask), so
+    it is priced as a full superstep of its class."""
+    gi = gi0
+    out = []
+    for _ in range(n_epochs):
+        warm = steady = 0
+        i = 0
+        while i < n_batches:
+            if gi < tcfg.warmup_until or gi % tcfg.warmup_every == 0:
+                d, cls = tcfg.warmup_d_iters, "warm"
+            else:
+                d, cls = tcfg.d_iters, "steady"
+            i += min(d, n_batches - i)
+            gi += 1
+            if cls == "warm":
+                warm += 1
+            else:
+                steady += 1
+        out.append((warm, steady))
+    return out, gi
+
+
 def main():
     float(jax.jit(lambda v: (v @ v).sum())(jnp.ones((128, 128))))
     print(f"backend: {jax.default_backend()}  n={N_SLICES}", flush=True)
@@ -46,47 +80,69 @@ def main():
                           warmup_until=25, warmup_every=500,
                           validate_every=100_000, checkpoint_every=10 ** 9)
     trainer = GanTrainer(mcfg, tcfg, DataConfig())
-    state = trainer.init_state(jax.random.key(0))
-    counters = Counters()
+    n_batches = N_SLICES // tcfg.batch_size
 
     rng = np.random.default_rng(0)
     x = rng.uniform(0, 1, (N_SLICES, IMG, IMG, 1)).astype(np.float32)
     y = rng.uniform(0, 1, (N_SLICES, IMG, IMG, 1)).astype(np.float32)
-    xv = x[:64]
-    yv = y[:64]
+    xv, yv = x[:64], y[:64]
 
     def fetch(state):
         return float(jnp.sum(jax.tree.leaves(state.g_params)[0]))
 
-    walls = []
-    for epoch in (1, 2):
-        t0 = time.time()
-        state, counters = trainer.fit_fold(
-            state, counters, x, y, xv, yv, n_epochs=1, fold=1, seed=7)
-        fetch(state)
-        walls.append(time.time() - t0)
-        print(f"epoch {epoch}: {walls[-1]:.1f}s "
-              f"(gen_iters={counters.gen_iterations})", flush=True)
+    def run_phase(name, gi0: int):
+        """Two epochs from gen_iterations=gi0; returns epoch-2 wall and the
+        epoch-2 (n_warm, n_steady) counts."""
+        state = trainer.init_state(jax.random.key(0))
+        counters = Counters(gen_iterations=gi0)
+        sched, _ = epoch_schedule(tcfg, n_batches, gi0, 2)
+        walls = []
+        for epoch in (1, 2):
+            t0 = time.time()
+            state, counters = trainer.fit_fold(
+                state, counters, x, y, xv, yv, n_epochs=1, fold=1, seed=7)
+            fetch(state)
+            walls.append(time.time() - t0)
+            w, s = sched[epoch - 1]
+            print(f"{name} epoch {epoch}: {walls[-1]:.1f}s "
+                  f"({w} warm + {s} steady supersteps, "
+                  f"gen_iters={counters.gen_iterations})", flush=True)
+        return walls[1], sched[1]
 
-    n_batches = N_SLICES // 16
-    steps_per_epoch = (n_batches + 4) // 5  # D=5 supersteps (+ tail)
-    warm_e1 = min(25, steps_per_epoch)
-    e1, e2 = walls
-    s5 = e2 / steps_per_epoch
-    s100 = (e1 - (steps_per_epoch - warm_e1) * s5) / warm_e1
-    # NOTE epoch 1's wall includes the two superstep compiles (D=100, D=5);
-    # s100 therefore overestimates — the projection is conservative.
+    # Steady phase first: its s5 feeds the warm phase's solve. Seeding
+    # gen_iterations=warmup_until skips warm-up; no re-warm is crossed in
+    # 2 epochs at the default sizes (25 + 120 supersteps < 500).
+    e2_steady, (w_s, s_s) = run_phase("steady", tcfg.warmup_until)
+    if w_s:
+        print(f"WARNING: steady phase crossed {w_s} re-warm steps — "
+              f"s5 slightly overestimated", flush=True)
+    s5 = e2_steady / (w_s * (tcfg.warmup_d_iters / tcfg.d_iters) + s_s)
 
-    total_steps = EPOCHS_TOTAL * steps_per_epoch
-    # warm-up recurrence: gen iters 0..24, plus every multiple of 500.
-    rewarms = sum(1 for gi in range(25, total_steps) if gi % 500 == 0)
-    warm_steps = 25 + rewarms
-    fold_s = (total_steps - warm_steps) * s5 + warm_steps * s100
-    print(f"\nsteady superstep s5 = {s5 * 1e3:.0f} ms; warm (D=100, incl. "
-          f"compile) s100 = {s100:.1f} s", flush=True)
+    e2_warm, (w_w, s_w) = run_phase("warm", 0)
+    if w_w == 0:
+        raise SystemExit("warm phase epoch 2 ran no warm supersteps — "
+                         "increase n_slices or lower warmup_until")
+    s100 = max(e2_warm - s_w * s5, 0.0) / w_w
+
+    # Price the full reference schedule by exact simulation.
+    sched, gi_end = epoch_schedule(tcfg, n_batches, 0, EPOCHS_TOTAL)
+    n_warm = sum(w for w, _ in sched)
+    n_steady = sum(s for _, s in sched)
+    fold_s = n_warm * s100 + n_steady * s5
+    print(f"\nsteady superstep s5 = {s5 * 1e3:.0f} ms; warm superstep "
+          f"(D=100) s100 = {s100:.2f} s", flush=True)
+    print(f"schedule: {n_warm} warm + {n_steady} steady supersteps over "
+          f"{EPOCHS_TOTAL} epochs ({gi_end} gen iters)", flush=True)
     print(f"per-fold {EPOCHS_TOTAL}-epoch projection: {fold_s / 3600:.2f} h",
           flush=True)
-    print(f"4-fold sequential (1 chip): {4 * fold_s / 3600:.2f} h", flush=True)
+    # Sequential 4-fold keeps the counters running across folds (the
+    # faithful reference quirk, config.py reset_counters_per_fold=False),
+    # so folds 2-4 skip the initial warm-up; fold-parallel resets per fold.
+    sched4, _ = epoch_schedule(tcfg, n_batches, 0, 4 * EPOCHS_TOTAL)
+    seq_s = (sum(w for w, _ in sched4) * s100
+             + sum(s for _, s in sched4) * s5)
+    print(f"4-fold sequential (1 chip, continuous counters): "
+          f"{seq_s / 3600:.2f} h", flush=True)
     print(f"4-fold fold-parallel (4 chips): {fold_s / 3600:.2f} h", flush=True)
     print(f"4-fold fold+2-way-data-parallel (v4-8, measured DP overhead "
           f"curve docs/PERF.md): ~{fold_s / 2 / 3600:.2f} h", flush=True)

@@ -170,6 +170,36 @@ class TestMultiFold:
             got_img = {t[len(pre):] for t in multi_log.images if t.startswith(pre)}
             assert got_img == seq_log.images, f"fold {f} image tag-set diff"
 
+    def test_fold_ids_namespace_streams(self, trainer):
+        """A non-default --folds selection (e.g. folds 3 and 4) must log
+        each stacked position under its ACTUAL fold id, matching the
+        driver's initial-image namespaces (drivers.py logs fold{fold}/...);
+        positional fold{1..F}/ prefixes misattribute every stream."""
+
+        class Capture:
+            def __init__(self):
+                self.tags = set()
+
+            def log_scalar(self, tag, v, step):
+                self.tags.add(tag)
+
+            def log_images(self, tag, imgs, step, denorm=(0, 255)):
+                self.tags.add(tag)
+
+            def log_graph(self, *a, **k):
+                pass
+
+        data = [fold_data(8, seed=70 + f) for f in range(4)]
+        val = [fold_data(4, seed=80 + f) for f in range(4)]
+        log = Capture()
+        states = trainer.init_states(jax.random.key(6))
+        trainer.fit(states, data, per_fold_val=val, n_epochs=1,
+                    logger=log, fold_ids=(3, 4, 7, 9))
+        prefixes = {t.split("/")[0] for t in log.tags if t.startswith("fold")}
+        assert prefixes == {"fold3", "fold4", "fold7", "fold9"}
+        with pytest.raises(ValueError):
+            trainer.fit(states, data, n_epochs=1, fold_ids=(1, 2))
+
     def test_stacked_state_checkpoint_resume(self, trainer, tmp_path):
         """Kill/resume on the stacked multi-fold state: full round trip
         through orbax (states + counters), then training continues from the
