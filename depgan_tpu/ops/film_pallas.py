@@ -26,10 +26,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _film_kernel(h_ref, gamma_ref, beta_ref, trunk_ref, out_ref):
-    gamma = gamma_ref[0]  # (1, C) — block of the (B, 1, C) vector array
-    beta = beta_ref[0]
-    h = h_ref[:]  # (1, rows, C)
-    out_ref[:] = trunk_ref[:] + jnp.maximum(h * gamma + beta, 0.0)
+    gamma = gamma_ref[0].astype(jnp.float32)  # (1, C) block of (B, 1, C)
+    beta = beta_ref[0].astype(jnp.float32)
+    h = h_ref[:].astype(jnp.float32)  # (1, rows, C)
+    # Accumulate the whole chain in f32 and round ONCE at the store: XLA's
+    # fused elementwise reference upcasts bf16 operands to f32 internally
+    # and rounds only at the output, so per-op bf16 rounding here showed up
+    # on chip as a deterministic 1-ulp (0.0625 at |x| in [8,16)) mismatch
+    # across every production shape (round 3).
+    out = trunk_ref[:].astype(jnp.float32) + jnp.maximum(h * gamma + beta, 0.0)
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _row_tile(n_rows: int, dtype) -> int:
