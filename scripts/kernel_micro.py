@@ -85,8 +85,9 @@ def main():
     # Level 1: n=128, c4=128 (32ch) -- the hot level.
     x, w, b = conv_args(128, 128, 128, 0)
     flops = 2 * B * 128 * 128 * 4 * 128 * 128
-    timed("conv3 L1 relu (128, 128->128)", conv3x3_s2d_fused, x, w, b,
-          None, None, "relu", 16, flops=flops)
+    timed("conv3 L1 relu (128, 128->128)",
+          lambda x, w, b: conv3x3_s2d_fused(x, w, b, mode="relu", strip=16),
+          x, w, b, flops=flops)
     gamma = jnp.ones((B, 128), jnp.float32)
     timed("conv3 L1 film (128, 128->128)",
           lambda x, w, b, g: conv3x3_s2d_fused(x, w, b, g, g, "film", 16),
@@ -97,14 +98,16 @@ def main():
           x, x2, w, w2, b, flops=2 * flops)
     # Entry conv: c4=32 (pad 8) -> 128.
     xe, we, be = conv_args(128, 32, 128, 2)
-    timed("conv3 entry (128, 32->128)", conv3x3_s2d_fused, xe, we, be,
-          None, None, "relu", 16, flops=flops // 4)
+    timed("conv3 entry (128, 32->128)",
+          lambda x, w, b: conv3x3_s2d_fused(x, w, b, mode="relu", strip=16),
+          xe, we, be, flops=flops // 4)
 
     # Level 2: n=64, c4=256 (64ch).
     xl2, wl2, bl2 = conv_args(64, 256, 256, 3)
     flops2 = 2 * B * 64 * 64 * 4 * 256 * 256
-    timed("conv3 L2 relu (64, 256->256)", conv3x3_s2d_fused, xl2, wl2, bl2,
-          None, None, "relu", 16, flops=flops2)
+    timed("conv3 L2 relu (64, 256->256)",
+          lambda x, w, b: conv3x3_s2d_fused(x, w, b, mode="relu", strip=16),
+          xl2, wl2, bl2, flops=flops2)
 
     # Pools.
     timed("pool_s2d L2->3 (64, c4=256)", pool_s2d_pallas, xl2)
