@@ -123,6 +123,12 @@ class GanTrainConfig:
     # The reference saves netG every generator iteration (reference :892);
     # checkpoint_every=1 reproduces that, default saves at sane intervals.
     checkpoint_every: int = 100
+    # Supersteps between metric fetches. Each superstep's scalars are packed
+    # into one device vector and fetched in a single batched transfer every
+    # this-many supersteps (plus before any validation and at fit end), so
+    # the dispatch pipeline never blocks on logging. Values/steps emitted
+    # are identical to eager logging; 1 restores per-step fetching.
+    metric_flush_every: int = 25
     seed: int = 0
 
 

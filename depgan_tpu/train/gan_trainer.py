@@ -56,6 +56,39 @@ _GEN_TAGS = [
 ]
 
 
+_GEN_KEYS = tuple(k for _, k in _GEN_TAGS)
+
+
+def pack_superstep_metrics(metrics):
+    """Flatten one superstep's scalar metrics into ONE f32 vector.
+
+    Every ``np.asarray``/``float`` of a device value is a separate blocking
+    device->host round trip; ``log_superstep_metrics`` needs ~11 of them,
+    which measured ~2.7 s/superstep of pure fetch overhead on the training
+    wall through the remote-dispatch backend (scripts/fold_anchor.py,
+    docs/PERF.md round 3) against 0.6 s of device compute. Packing lets
+    ``fit_fold`` buffer the vectors of K supersteps (dispatch stays async)
+    and fetch them later with a single transfer."""
+    rows = [metrics["crit_y2_real"], metrics["crit_y2_fake"],
+            metrics["crit_dem_real"], metrics["crit_dem_fake"]]
+    gen = jnp.stack([metrics["gen"][k] for k in _GEN_KEYS])
+    return jnp.concatenate(
+        [jnp.asarray(r, jnp.float32).reshape(-1) for r in rows]
+        + [gen.astype(jnp.float32)]
+    )
+
+
+def unpack_superstep_metrics(flat, d: int) -> dict:
+    """Inverse of :func:`pack_superstep_metrics` on a HOST vector."""
+    flat = np.asarray(flat)
+    rows = flat[: 4 * d].reshape(4, d)
+    gen = dict(zip(_GEN_KEYS, flat[4 * d : 4 * d + len(_GEN_KEYS)]))
+    return {
+        "crit_y2_real": rows[0], "crit_y2_fake": rows[1],
+        "crit_dem_real": rows[2], "crit_dem_fake": rows[3], "gen": gen,
+    }
+
+
 def log_superstep_metrics(log, metrics, counters, n_valid, prefix: str = ""):
     """Emit the reference's full scalar tag set for one superstep
     (reference :811-886): per-critic-iteration errCrit_* streams, per-gen-
@@ -137,6 +170,9 @@ class GanTrainer:
             for d, fn in self._superstep_fns.items()
         }
         self._val_step = self._build_val_step()
+        # One dispatch per superstep to flatten the metrics; retraces once
+        # per D variant. See pack_superstep_metrics for why.
+        self._pack_metrics = jax.jit(pack_superstep_metrics)
 
     # ------------------------------------------------------------------ state
 
@@ -536,6 +572,35 @@ class GanTrainer:
         timer = StepTimer()
         graph_logged = False
 
+        # Deferred metric fetching: each superstep appends ONE packed device
+        # vector (dispatch only — the host never blocks on it); the buffer is
+        # drained with a single transfer every metric_flush_every supersteps,
+        # before any validation that needs the values, and at the end. The
+        # emitted (tag, value, step) streams are byte-identical to eager
+        # logging (pinned by tests/test_training.py) — only the fetch
+        # schedule changes. Eager fetching measured 2.7 s/superstep of round
+        # trips vs 0.6 s device compute (docs/PERF.md round 3).
+        pending: list[tuple] = []  # (packed vec, d, n_valid, counters)
+        last_logged: tuple | None = None  # (metrics host dict, gen_aux)
+
+        def flush():
+            nonlocal pending, last_logged
+            if not pending:
+                return last_logged
+            if len(pending) == 1:
+                flat = np.asarray(pending[0][0])
+            else:
+                flat = np.asarray(jnp.concatenate([p[0] for p in pending]))
+            off = 0
+            for _, d_, nv, ctr in pending:
+                ln = 4 * d_ + len(_GEN_KEYS)
+                m = unpack_superstep_metrics(flat[off : off + ln], d_)
+                off += ln
+                gen_aux = log_superstep_metrics(log, m, ctr, nv)
+                last_logged = (m, gen_aux)
+            pending = []
+            return last_logged
+
         for epoch in range(n_epochs):
             idx_epoch = shuffler.epoch()
             n_batches = idx_epoch.shape[0]
@@ -559,28 +624,34 @@ class GanTrainer:
                     graph_logged = True
                 state, metrics = self.superstep(state, x_all, y_all, block, n_valid, sk)
 
-                # --- logging at reference-equivalent resolution ---
-                gen_aux = log_superstep_metrics(log, metrics, counters, n_valid)
+                # --- logging at reference-equivalent resolution (deferred
+                # fetch; values/steps identical to eager) ---
+                pending.append((self._pack_metrics(metrics), d, n_valid, counters))
                 counters = counters.replace(
                     crit_iterations=counters.crit_iterations + n_valid,
                     crit_dem_iterations=counters.crit_dem_iterations + n_valid,
                 )
                 gi = counters.gen_iterations
                 timer.step()
+                if len(pending) >= cfg.metric_flush_every:
+                    flush()
 
                 # --- validation (reference :842-855) ---
                 if gi % cfg.validate_every == 0:
+                    m_last, gen_aux = flush()
                     d_fake, d_real, d_gen, val_dem = self._val_step(
                         state, xv, yv, fixed_noise
                     )
-                    log("val_D_fake_loss", float(d_fake), gi)
-                    log("val_D_real_loss", float(d_real), gi)
-                    log("val_D_real_generated_loss", float(d_gen), gi)
+                    # One transfer for the three scores (not three).
+                    vals = np.asarray(jnp.stack([d_fake, d_real, d_gen]))
+                    log("val_D_fake_loss", float(vals[0]), gi)
+                    log("val_D_real_loss", float(vals[1]), gi)
+                    log("val_D_real_generated_loss", float(vals[2]), gi)
                     if logger is not None:
                         timer.log_to(logger, gi)
                     err_d = float(
-                        np.asarray(metrics["crit_y2_real"])[n_valid - 1]
-                        - np.asarray(metrics["crit_y2_fake"])[n_valid - 1]
+                        m_last["crit_y2_real"][n_valid - 1]
+                        - m_last["crit_y2_fake"][n_valid - 1]
                     )
                     print(
                         f"TRN FOLD {fold} [{epoch}/{n_epochs}][{i}/{n_batches}]"
@@ -605,4 +676,5 @@ class GanTrainer:
                 if checkpoint_fn is not None and (gi + 1) % cfg.checkpoint_every == 0:
                     checkpoint_fn(state, counters)
 
+        flush()
         return state, counters

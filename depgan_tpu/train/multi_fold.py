@@ -30,8 +30,32 @@ from ..config import DataConfig, GanTrainConfig, ModelConfig
 from ..data.pipeline import EpochShuffler
 from ..parallel.mesh import FOLD_AXIS
 from ..utils.profiling import StepTimer
-from .gan_trainer import GanTrainer, log_superstep_metrics
+from .gan_trainer import _GEN_KEYS, GanTrainer, log_superstep_metrics
 from .state import Counters
+
+
+def _pack_fold_metrics(metrics):
+    """All folds' superstep scalars as ONE f32 vector (see
+    gan_trainer.pack_superstep_metrics — same deferred-fetch rationale; the
+    eager path here was even worse: F x leaves separate round trips)."""
+    rows = [metrics["crit_y2_real"], metrics["crit_y2_fake"],
+            metrics["crit_dem_real"], metrics["crit_dem_fake"]]  # (F, d)
+    gen = jnp.stack([metrics["gen"][k] for k in _GEN_KEYS])  # (6, F)
+    return jnp.concatenate(
+        [jnp.asarray(r, jnp.float32).reshape(-1) for r in rows]
+        + [gen.astype(jnp.float32).reshape(-1)]
+    )
+
+
+def _unpack_fold_metrics(flat: np.ndarray, n_folds: int, d: int, f: int):
+    """One fold's host metrics dict out of a packed vector."""
+    rows = flat[: 4 * n_folds * d].reshape(4, n_folds, d)
+    gen_mat = flat[4 * n_folds * d :].reshape(len(_GEN_KEYS), n_folds)
+    return {
+        "crit_y2_real": rows[0, f], "crit_y2_fake": rows[1, f],
+        "crit_dem_real": rows[2, f], "crit_dem_fake": rows[3, f],
+        "gen": dict(zip(_GEN_KEYS, gen_mat[:, f])),
+    }
 
 
 class MultiFoldGanTrainer:
@@ -182,6 +206,31 @@ class MultiFoldGanTrainer:
         counters = counters if counters is not None else Counters()
         log = logger.log_scalar if logger is not None else (lambda *a: None)
         timer = StepTimer()
+        pack = jax.jit(_pack_fold_metrics)
+
+        # Deferred metric fetch (see gan_trainer.fit_fold): one packed
+        # vector per superstep, drained in a single transfer per flush.
+        pending: list[tuple] = []  # (vec, d, n_valid, counters)
+
+        def flush():
+            nonlocal pending
+            if not pending:
+                return
+            if len(pending) == 1:
+                flat = np.asarray(pending[0][0])
+            else:
+                flat = np.asarray(jnp.concatenate([p[0] for p in pending]))
+            off = 0
+            for _, d_, nv, ctr in pending:
+                ln = (4 * d_ + len(_GEN_KEYS)) * self.n_folds
+                chunk = flat[off : off + ln]
+                off += ln
+                for f in range(self.n_folds):
+                    log_superstep_metrics(
+                        log, _unpack_fold_metrics(chunk, self.n_folds, d_, f),
+                        ctr, nv, prefix=f"fold{fold_ids[f]}/",
+                    )
+            pending = []
 
         for epoch in range(n_epochs):
             epochs_idx = [s.epoch() for s in shufflers]  # F x (nb, B)
@@ -201,24 +250,23 @@ class MultiFoldGanTrainer:
                 gi = counters.gen_iterations
                 # Full reference tag set per fold (gan_trainer.py's stream,
                 # namespaced fold{k}/...) — same resolution as the
-                # sequential trainer.
-                for f in range(self.n_folds):
-                    metrics_f = jax.tree.map(lambda a: np.asarray(a)[f], metrics)
-                    log_superstep_metrics(
-                        log, metrics_f, counters, n_valid,
-                        prefix=f"fold{fold_ids[f]}/",
-                    )
+                # sequential trainer, deferred fetch.
+                pending.append((pack(metrics), d, n_valid, counters))
+                if len(pending) >= cfg.metric_flush_every:
+                    flush()
                 timer.step()
                 if logger is not None and gi % 10 == 0:
                     timer.log_to(logger, gi)
 
                 # --- validation per fold (reference :842-865) ---
                 if xv is not None and gi % cfg.validate_every == 0:
+                    flush()
                     d_fake, d_real, d_gen, dems = self._val_step(
                         states, xv, yv, fixed_noise
                     )
-                    d_fake, d_real, d_gen = (
-                        np.asarray(d_fake), np.asarray(d_real), np.asarray(d_gen)
+                    # One transfer for all three (F,) score rows.
+                    d_fake, d_real, d_gen = np.asarray(
+                        jnp.stack([d_fake, d_real, d_gen])
                     )
                     for f in range(self.n_folds):
                         pre = f"fold{fold_ids[f]}/"
@@ -247,6 +295,7 @@ class MultiFoldGanTrainer:
                 )
                 if checkpoint_fn is not None and (gi + 1) % cfg.checkpoint_every == 0:
                     checkpoint_fn(states, counters)
+        flush()
         return states, counters
 
 

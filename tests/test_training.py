@@ -273,6 +273,46 @@ class TestGanSuperstep:
         assert counters.gen_iterations == 5 + 3
         assert counters.crit_iterations == 5
 
+    def test_buffered_metric_streams_match_per_step_flush(self, trainer):
+        """The deferred metric fetch (pack -> buffer -> one batched
+        transfer) must emit EXACTLY the per-step-flush streams — same
+        (tag, value, step) triples in the same order, including across a
+        validation flush. Only the fetch schedule may differ."""
+        import dataclasses
+
+        x, y = synth_gan_data(n=20)
+        xv, yv = synth_gan_data(n=4, seed=9)
+
+        def run(flush_every):
+            captured = []
+
+            class Cap:
+                def log_scalar(self, tag, v, step):
+                    if not tag.startswith("perf/"):  # wall-time, not values
+                        captured.append((tag, float(v), step))
+
+                def log_images(self, *a, **k):
+                    pass
+
+                def log_graph(self, *a, **k):
+                    pass
+
+            orig = trainer.cfg
+            trainer.cfg = dataclasses.replace(
+                orig, metric_flush_every=flush_every, validate_every=2
+            )
+            try:
+                state = trainer.init_state(jax.random.key(0))
+                trainer.fit_fold(
+                    state, Counters(gen_iterations=5), x, y, xv, yv,
+                    n_epochs=1, logger=Cap(), seed=3,
+                )
+            finally:
+                trainer.cfg = orig
+            return captured
+
+        assert run(10_000) == run(1)
+
     def test_val_step_values_pinned_with_stub_models(self, trainer):
         """Hand-computed validation scores (reference :845-847). The key
         faithfulness pin: `val_D_real_generated_loss` scores the critic on
