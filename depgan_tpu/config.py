@@ -129,6 +129,14 @@ class GanTrainConfig:
     # the dispatch pipeline never blocks on logging. Values/steps emitted
     # are identical to eager logging; 1 restores per-step fetching.
     metric_flush_every: int = 25
+    # Steady supersteps scanned inside ONE device dispatch (trajectory-
+    # identical to sequential dispatches; chunks end exactly at validation/
+    # checkpoint boundaries and D-schedule changes). 0 = auto
+    # (min(validate_every, metric_flush_every)); 1 = one dispatch per
+    # superstep. Dispatch marshaling is ~2.6 s/call on the remote backend
+    # vs 0.6 s of device compute (docs/PERF.md round 3) — chunking divides
+    # that overhead by the chunk length.
+    dispatch_chunk: int = 0
     seed: int = 0
 
 

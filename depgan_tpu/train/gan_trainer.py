@@ -173,6 +173,9 @@ class GanTrainer:
         # One dispatch per superstep to flatten the metrics; retraces once
         # per D variant. See pack_superstep_metrics for why.
         self._pack_metrics = jax.jit(pack_superstep_metrics)
+        # Scan-of-supersteps chunk programs, compiled lazily per D variant
+        # (fixed chunk length — padded dispatches reuse the same program).
+        self._chunk_jits: dict = {}
 
     # ------------------------------------------------------------------ state
 
@@ -511,12 +514,69 @@ class GanTrainer:
     # ------------------------------------------------------------------- fit
 
     def _d_iters_for(self, counters: Counters) -> int:
+        return self._d_iters_for_gi(counters.gen_iterations)
+
+    def _d_iters_for_gi(self, gi: int) -> int:
         c = self.cfg
-        if counters.gen_iterations < c.warmup_until or (
-            counters.gen_iterations % c.warmup_every == 0
-        ):
+        if gi < c.warmup_until or gi % c.warmup_every == 0:
             return c.warmup_d_iters
         return c.d_iters
+
+    def _chunk_len(self) -> int:
+        """Supersteps per device dispatch (steady phase). One superstep
+        dispatch costs ~2.6 s of host time on the remote backend —
+        marshaling the ~200-leaf donated state dwarfs the 0.6 s of device
+        compute (scripts/fold_anchor.py, docs/PERF.md round 3) — so fit_fold
+        scans up to this many supersteps inside ONE jitted call. Bounded by
+        the validation cadence (the chunk must end exactly where the
+        reference validates/checkpoints, so observable behaviour is
+        unchanged)."""
+        c = self.cfg
+        if c.dispatch_chunk > 0:
+            return c.dispatch_chunk
+        return max(1, min(c.validate_every, c.metric_flush_every))
+
+    def _build_chunk(self, d_iters: int):
+        """Scan-of-supersteps: runs L supersteps on device in one dispatch.
+
+        Trajectory-identical to L sequential superstep calls: the RNG key
+        is carried and split once per ACTIVE superstep (exactly the host
+        loop's split sequence), epoch-tail masking comes in via the
+        per-superstep n_valid, and padded (inactive) supersteps advance
+        neither the state nor the key."""
+        superstep_fn = self._superstep_fns[d_iters]
+
+        def chunk(state, x_all, y_all, idx, nvalid, active, key):
+            # idx (L, D, B) int32; nvalid, active (L,).
+            def body(carry, xs):
+                st, k = carry
+                idx_k, nv_k, act_k = xs
+                k, sk = jax.lax.cond(
+                    act_k,
+                    lambda kk: tuple(jax.random.split(kk)),
+                    lambda kk: (kk, kk),
+                    k,
+                )
+                valid = (jnp.arange(d_iters) < nv_k) & act_k
+                new_st, metrics = superstep_fn(
+                    st, x_all, y_all, idx_k, valid, sk
+                )
+                st = tree_select(act_k, new_st, st)
+                return (st, k), pack_superstep_metrics(metrics)
+
+            (state, key), vecs = jax.lax.scan(
+                body, (state, key), (idx, nvalid, active)
+            )
+            return state, key, vecs
+
+        return chunk
+
+    def _chunk_step(self, d: int):
+        fn = self._chunk_jits.get(d)
+        if fn is None:
+            fn = jax.jit(self._build_chunk(d), donate_argnums=0)
+            self._chunk_jits[d] = fn
+        return fn
 
     def superstep(self, state, x_all, y_all, idx_block, n_valid, key):
         """Run one superstep with a (D, B) index block, of which the first
@@ -580,60 +640,122 @@ class GanTrainer:
         # logging (pinned by tests/test_training.py) — only the fetch
         # schedule changes. Eager fetching measured 2.7 s/superstep of round
         # trips vs 0.6 s device compute (docs/PERF.md round 3).
-        pending: list[tuple] = []  # (packed vec, d, n_valid, counters)
+        # Each entry: (device array of packed rows — (L, len) from a chunk or
+        # (len,) from a single superstep — and the per-ACTIVE-row metadata
+        # [(d, n_valid, counters), ...]; padded chunk rows carry no meta and
+        # are skipped).
+        pending: list[tuple] = []
+        n_pending = 0  # supersteps buffered
         last_logged: tuple | None = None  # (metrics host dict, gen_aux)
 
         def flush():
-            nonlocal pending, last_logged
+            nonlocal pending, n_pending, last_logged
             if not pending:
                 return last_logged
             if len(pending) == 1:
-                flat = np.asarray(pending[0][0])
+                flat = np.asarray(pending[0][0]).reshape(-1)
             else:
-                flat = np.asarray(jnp.concatenate([p[0] for p in pending]))
+                flat = np.asarray(
+                    jnp.concatenate([jnp.reshape(a, (-1,)) for a, _ in pending])
+                )
             off = 0
-            for _, d_, nv, ctr in pending:
-                ln = 4 * d_ + len(_GEN_KEYS)
-                m = unpack_superstep_metrics(flat[off : off + ln], d_)
-                off += ln
-                gen_aux = log_superstep_metrics(log, m, ctr, nv)
-                last_logged = (m, gen_aux)
+            for arr, metas in pending:
+                n_rows = arr.shape[0] if arr.ndim == 2 else 1
+                for r, (d_, nv, ctr) in enumerate(metas):
+                    ln = 4 * d_ + len(_GEN_KEYS)
+                    m = unpack_superstep_metrics(
+                        flat[off + r * ln : off + (r + 1) * ln], d_
+                    )
+                    gen_aux = log_superstep_metrics(log, m, ctr, nv)
+                    last_logged = (m, gen_aux)
+                off += n_rows * (4 * metas[0][0] + len(_GEN_KEYS))
             pending = []
+            n_pending = 0
             return last_logged
 
+        chunk_len = self._chunk_len()
         for epoch in range(n_epochs):
             idx_epoch = shuffler.epoch()
             n_batches = idx_epoch.shape[0]
             i = 0
             while i < n_batches:
                 d = self._d_iters_for(counters)
-                n_valid = min(d, n_batches - i)
-                block = np.zeros((d, cfg.batch_size), np.int32)
-                block[:n_valid] = idx_epoch[i : i + n_valid]
-                i += n_valid
 
-                key, sk = jax.random.split(key)
+                # ---- plan one device dispatch: a single superstep (warm
+                # phase, or chunking off) or up to chunk_len steady
+                # supersteps ending exactly at the first validation/
+                # checkpoint boundary or D-schedule change — the host needs
+                # the intermediate state only at those points, so chunking
+                # changes no observable behaviour (trajectory identity
+                # pinned by tests/test_training.py).
+                plan = []  # (index block, n_valid) per superstep
+                gi_sim = counters.gen_iterations
+                while True:
+                    n_valid = min(d, n_batches - i)
+                    block = np.zeros((d, cfg.batch_size), np.int32)
+                    block[:n_valid] = idx_epoch[i : i + n_valid]
+                    plan.append((block, n_valid))
+                    i += n_valid
+                    boundary = (
+                        gi_sim % cfg.validate_every == 0
+                        or (checkpoint_fn is not None
+                            and (gi_sim + 1) % cfg.checkpoint_every == 0)
+                    )
+                    gi_sim += 1
+                    if (d != cfg.d_iters or chunk_len == 1 or boundary
+                            or len(plan) >= chunk_len or i >= n_batches
+                            or self._d_iters_for_gi(gi_sim) != d):
+                        break
+
                 if logger is not None and not graph_logged:
                     # TensorBoard graph tab (reference log_graph :174-175,:510):
                     # the jaxpr of the exact superstep about to run.
                     logger.log_graph(
                         self._superstep_fns[d],
-                        (state, x_all, y_all, jnp.asarray(block),
-                         jnp.arange(d) < n_valid, sk),
+                        (state, x_all, y_all, jnp.asarray(plan[0][0]),
+                         jnp.arange(d) < plan[0][1], key),
                     )
                     graph_logged = True
-                state, metrics = self.superstep(state, x_all, y_all, block, n_valid, sk)
+
+                if len(plan) == 1:
+                    key, sk = jax.random.split(key)
+                    state, metrics = self.superstep(
+                        state, x_all, y_all, plan[0][0], plan[0][1], sk
+                    )
+                    vec_arr = self._pack_metrics(metrics)
+                else:
+                    L = chunk_len  # fixed length: one compile per D variant
+                    idx_stack = np.zeros((L, d, cfg.batch_size), np.int32)
+                    nvalid = np.zeros((L,), np.int32)
+                    active = np.zeros((L,), bool)
+                    for j, (blk, nv) in enumerate(plan):
+                        idx_stack[j], nvalid[j], active[j] = blk, nv, True
+                    idxs = jnp.asarray(idx_stack)
+                    if self._data_parallel:
+                        idxs = jax.device_put(
+                            idxs, meshlib.index_sharding(self.mesh, 3)
+                        )
+                    state, key, vec_arr = self._chunk_step(d)(
+                        state, x_all, y_all, idxs,
+                        jnp.asarray(nvalid), jnp.asarray(active), key,
+                    )
 
                 # --- logging at reference-equivalent resolution (deferred
                 # fetch; values/steps identical to eager) ---
-                pending.append((self._pack_metrics(metrics), d, n_valid, counters))
-                counters = counters.replace(
-                    crit_iterations=counters.crit_iterations + n_valid,
-                    crit_dem_iterations=counters.crit_dem_iterations + n_valid,
-                )
-                gi = counters.gen_iterations
-                timer.step()
-                if len(pending) >= cfg.metric_flush_every:
+                metas = []
+                for j, (_, nv) in enumerate(plan):
+                    metas.append((d, nv, counters))
+                    counters = counters.replace(
+                        crit_iterations=counters.crit_iterations + nv,
+                        crit_dem_iterations=counters.crit_dem_iterations + nv,
+                    )
+                    gi = counters.gen_iterations
+                    timer.step()
+                    if j < len(plan) - 1:
+                        counters = counters.replace(gen_iterations=gi + 1)
+                pending.append((vec_arr, metas))
+                n_pending += len(plan)
+                if n_pending >= cfg.metric_flush_every:
                     flush()
 
                 # --- validation (reference :842-855) ---

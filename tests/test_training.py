@@ -274,16 +274,18 @@ class TestGanSuperstep:
         assert counters.crit_iterations == 5
 
     def test_buffered_metric_streams_match_per_step_flush(self, trainer):
-        """The deferred metric fetch (pack -> buffer -> one batched
-        transfer) must emit EXACTLY the per-step-flush streams — same
-        (tag, value, step) triples in the same order, including across a
-        validation flush. Only the fetch schedule may differ."""
+        """Deferred metric fetch + chunked dispatch (scan-of-supersteps)
+        must reproduce the sequential per-step-flush run: same
+        (tag, step) streams in the same order, same values and final state
+        (to float tolerance — the chunk program is a separate XLA
+        compilation of the same math), including across a validation
+        flush and an epoch-tail partial superstep."""
         import dataclasses
 
         x, y = synth_gan_data(n=20)
         xv, yv = synth_gan_data(n=4, seed=9)
 
-        def run(flush_every):
+        def run(flush_every, chunk):
             captured = []
 
             class Cap:
@@ -299,19 +301,31 @@ class TestGanSuperstep:
 
             orig = trainer.cfg
             trainer.cfg = dataclasses.replace(
-                orig, metric_flush_every=flush_every, validate_every=2
+                orig, metric_flush_every=flush_every, validate_every=2,
+                dispatch_chunk=chunk,
             )
             try:
                 state = trainer.init_state(jax.random.key(0))
-                trainer.fit_fold(
+                state, _ = trainer.fit_fold(
                     state, Counters(gen_iterations=5), x, y, xv, yv,
                     n_epochs=1, logger=Cap(), seed=3,
                 )
             finally:
                 trainer.cfg = orig
-            return captured
+            fp = float(
+                sum(float(jnp.sum(jnp.abs(l)))
+                    for l in jax.tree.leaves(state.g_params))
+            )
+            return captured, fp
 
-        assert run(10_000) == run(1)
+        buffered, fp_b = run(10_000, 0)  # auto chunking, one final flush
+        eager, fp_e = run(1, 1)          # per-step dispatch + fetch
+        assert [(t, s) for t, _, s in buffered] == [(t, s) for t, _, s in eager]
+        np.testing.assert_allclose(
+            [v for _, v, _ in buffered], [v for _, v, _ in eager],
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(fp_b, fp_e, rtol=1e-5)
 
     def test_val_step_values_pinned_with_stub_models(self, trainer):
         """Hand-computed validation scores (reference :845-847). The key
