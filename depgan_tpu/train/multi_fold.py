@@ -30,32 +30,13 @@ from ..config import DataConfig, GanTrainConfig, ModelConfig
 from ..data.pipeline import EpochShuffler
 from ..parallel.mesh import FOLD_AXIS
 from ..utils.profiling import StepTimer
-from .gan_trainer import _GEN_KEYS, GanTrainer, log_superstep_metrics
+from .gan_trainer import (
+    _GEN_KEYS,
+    GanTrainer,
+    log_superstep_metrics,
+    unpack_superstep_metrics,
+)
 from .state import Counters
-
-
-def _pack_fold_metrics(metrics):
-    """All folds' superstep scalars as ONE f32 vector (see
-    gan_trainer.pack_superstep_metrics — same deferred-fetch rationale; the
-    eager path here was even worse: F x leaves separate round trips)."""
-    rows = [metrics["crit_y2_real"], metrics["crit_y2_fake"],
-            metrics["crit_dem_real"], metrics["crit_dem_fake"]]  # (F, d)
-    gen = jnp.stack([metrics["gen"][k] for k in _GEN_KEYS])  # (6, F)
-    return jnp.concatenate(
-        [jnp.asarray(r, jnp.float32).reshape(-1) for r in rows]
-        + [gen.astype(jnp.float32).reshape(-1)]
-    )
-
-
-def _unpack_fold_metrics(flat: np.ndarray, n_folds: int, d: int, f: int):
-    """One fold's host metrics dict out of a packed vector."""
-    rows = flat[: 4 * n_folds * d].reshape(4, n_folds, d)
-    gen_mat = flat[4 * n_folds * d :].reshape(len(_GEN_KEYS), n_folds)
-    return {
-        "crit_y2_real": rows[0, f], "crit_y2_fake": rows[1, f],
-        "crit_dem_real": rows[2, f], "crit_dem_fake": rows[3, f],
-        "gen": dict(zip(_GEN_KEYS, gen_mat[:, f])),
-    }
 
 
 class MultiFoldGanTrainer:
@@ -113,6 +94,62 @@ class MultiFoldGanTrainer:
             d: make_step(fn) for d, fn in self.base._superstep_fns.items()
         }
 
+        # Chunked dispatch (see gan_trainer._build_chunk): L supersteps
+        # scanned per device call inside each fold's shard — the ~2.6 s
+        # per-dispatch pytree-marshaling cost is paid once per chunk. Keys
+        # are precomputed on the host with the exact sequential derivation
+        # (key -> split -> per-fold split), so trajectories are unchanged.
+        def make_chunk_step(fn, d_iters, L):
+            from .gan_trainer import pack_superstep_metrics
+            from .state import tree_select
+
+            def per_shard(state, x, y, idx, nvalid, active, key_data):
+                # idx (1, L, D, B); key_data (L, 1, 2) raw uint32 (padded
+                # rows are zeros — inactive, so never used); nvalid/active
+                # (L,).
+                state1 = jax.tree.map(lambda a: a[0], state)
+
+                def body(st, xs):
+                    idx_k, nv_k, act_k, kd = xs
+                    k = jax.random.wrap_key_data(kd)
+                    valid = (jnp.arange(d_iters) < nv_k) & act_k
+                    new_st, metrics = fn(st, x[0], y[0], idx_k, valid, k)
+                    st = tree_select(act_k, new_st, st)
+                    return st, pack_superstep_metrics(metrics)
+
+                st, vecs = jax.lax.scan(
+                    body, state1, (idx[0], nvalid, active, key_data[:, 0])
+                )
+                expand = lambda a: jnp.asarray(a)[None]
+                return jax.tree.map(expand, st), expand(vecs)
+
+            fold = P(FOLD_AXIS)
+            return jax.jit(
+                shard_map(
+                    per_shard, self.mesh,
+                    in_specs=(fold, fold, fold, fold, P(), P(),
+                              P(None, FOLD_AXIS, None)),
+                    out_specs=(fold, fold),
+                ),
+                donate_argnums=0,
+            )
+
+        self._make_chunk_step = make_chunk_step
+        self._chunk_jits: dict = {}
+
+        # One dispatch derives the whole chunk's key schedule: per superstep
+        # j, key -> (key, sk_j); sk_j -> F per-fold keys — exactly the
+        # sequential loop's `split(key)` + `split(sk, F)`. Emits RAW key
+        # data (n, F, 2) so partial chunks can zero-pad to the fixed length.
+        def chunk_keys(key, n):
+            def body(k, _):
+                k, sk = jax.random.split(k)
+                return k, jax.random.key_data(jax.random.split(sk, self.n_folds))
+
+            return jax.lax.scan(body, key, None, length=n)
+
+        self._chunk_keys = jax.jit(chunk_keys, static_argnums=1)
+
         # Fold-stacked validation step (reference :842-865): the sequential
         # trainer's pure val fn shard_mapped over the fold axis — scores +
         # generated DEMs per fold in one dispatch.
@@ -134,6 +171,13 @@ class MultiFoldGanTrainer:
         )
 
     # ------------------------------------------------------------------
+
+    def _chunk_step(self, d: int, L: int):
+        fn = self._chunk_jits.get((d, L))
+        if fn is None:
+            fn = self._make_chunk_step(self.base._superstep_fns[d], d, L)
+            self._chunk_jits[(d, L)] = fn
+        return fn
 
     def init_states(self, rng):
         """Fold-stacked state, leading axis sharded over `fold`."""
@@ -206,31 +250,39 @@ class MultiFoldGanTrainer:
         counters = counters if counters is not None else Counters()
         log = logger.log_scalar if logger is not None else (lambda *a: None)
         timer = StepTimer()
-        pack = jax.jit(_pack_fold_metrics)
+        chunk_len = self.base._chunk_len()
 
-        # Deferred metric fetch (see gan_trainer.fit_fold): one packed
-        # vector per superstep, drained in a single transfer per flush.
-        pending: list[tuple] = []  # (vec, d, n_valid, counters)
+        # Deferred metric fetch (see gan_trainer.fit_fold): each chunk
+        # dispatch yields a stacked (F, L, len) array of packed per-fold
+        # rows, drained in a single transfer per flush.
+        pending: list[tuple] = []  # (arr (F, L, len), [(d, n_valid, ctr)])
+        n_pending = 0
 
         def flush():
-            nonlocal pending
+            nonlocal pending, n_pending
             if not pending:
                 return
             if len(pending) == 1:
-                flat = np.asarray(pending[0][0])
+                flat = np.asarray(pending[0][0]).reshape(-1)
             else:
-                flat = np.asarray(jnp.concatenate([p[0] for p in pending]))
+                flat = np.asarray(
+                    jnp.concatenate([jnp.reshape(a, (-1,)) for a, _ in pending])
+                )
             off = 0
-            for _, d_, nv, ctr in pending:
-                ln = (4 * d_ + len(_GEN_KEYS)) * self.n_folds
-                chunk = flat[off : off + ln]
-                off += ln
-                for f in range(self.n_folds):
-                    log_superstep_metrics(
-                        log, _unpack_fold_metrics(chunk, self.n_folds, d_, f),
-                        ctr, nv, prefix=f"fold{fold_ids[f]}/",
-                    )
+            for arr, metas in pending:
+                n_f, n_rows = arr.shape[0], arr.shape[1]
+                ln = 4 * metas[0][0] + len(_GEN_KEYS)
+                for r, (d_, nv, ctr) in enumerate(metas):
+                    for f in range(n_f):
+                        base = off + (f * n_rows + r) * ln
+                        log_superstep_metrics(
+                            log,
+                            unpack_superstep_metrics(flat[base : base + ln], d_),
+                            ctr, nv, prefix=f"fold{fold_ids[f]}/",
+                        )
+                off += n_f * n_rows * ln
             pending = []
+            n_pending = 0
 
         for epoch in range(n_epochs):
             epochs_idx = [s.epoch() for s in shufflers]  # F x (nb, B)
@@ -238,25 +290,75 @@ class MultiFoldGanTrainer:
             i = 0
             while i < n_batches:
                 d = self.base._d_iters_for(counters)
-                n_valid = min(d, n_batches - i)
-                blocks = np.zeros((self.n_folds, d, cfg.batch_size), np.int32)
-                for f in range(self.n_folds):
-                    blocks[f, :n_valid] = epochs_idx[f][i : i + n_valid]
-                i += n_valid
-                key, sk = jax.random.split(key)
-                states, metrics = self.superstep(
-                    states, x_all, y_all, blocks, n_valid, sk
+
+                # ---- plan one chunked dispatch (see gan_trainer.fit_fold:
+                # same boundaries — validation, checkpoint, D change).
+                plan = []  # (blocks (F, D, B), n_valid)
+                gi_sim = counters.gen_iterations
+                while True:
+                    n_valid = min(d, n_batches - i)
+                    blocks = np.zeros(
+                        (self.n_folds, d, cfg.batch_size), np.int32
+                    )
+                    for f in range(self.n_folds):
+                        blocks[f, :n_valid] = epochs_idx[f][i : i + n_valid]
+                    plan.append((blocks, n_valid))
+                    i += n_valid
+                    boundary = (
+                        (xv is not None and gi_sim % cfg.validate_every == 0)
+                        or (checkpoint_fn is not None
+                            and (gi_sim + 1) % cfg.checkpoint_every == 0)
+                    )
+                    gi_sim += 1
+                    if (d != cfg.d_iters or chunk_len == 1 or boundary
+                            or len(plan) >= chunk_len or i >= n_batches
+                            or self.base._d_iters_for_gi(gi_sim) != d):
+                        break
+
+                # Fixed chunk length per D variant (padded) = one compile.
+                L = chunk_len if d == cfg.d_iters and chunk_len > 1 else 1
+                idx_stack = np.zeros(
+                    (self.n_folds, L, d, cfg.batch_size), np.int32
                 )
-                gi = counters.gen_iterations
+                nvalid = np.zeros((L,), np.int32)
+                active = np.zeros((L,), bool)
+                for j, (blk, nv) in enumerate(plan):
+                    idx_stack[:, j], nvalid[j], active[j] = blk, nv, True
+                key, key_data = self._chunk_keys(key, len(plan))
+                if len(plan) < L:
+                    key_data = jnp.concatenate([
+                        key_data,
+                        jnp.zeros((L - len(plan),) + key_data.shape[1:],
+                                  key_data.dtype),
+                    ])
+                idxs = jax.device_put(jnp.asarray(idx_stack), self._idx_sharding)
+                states, vecs = self._chunk_step(d, L)(
+                    states, x_all, y_all, idxs,
+                    jnp.asarray(nvalid), jnp.asarray(active), key_data,
+                )
+
                 # Full reference tag set per fold (gan_trainer.py's stream,
                 # namespaced fold{k}/...) — same resolution as the
                 # sequential trainer, deferred fetch.
-                pending.append((pack(metrics), d, n_valid, counters))
-                if len(pending) >= cfg.metric_flush_every:
+                metas = []
+                for j, (_, nv) in enumerate(plan):
+                    metas.append((d, nv, counters))
+                    gi = counters.gen_iterations
+                    timer.step()
+                    if logger is not None and gi % 10 == 0:
+                        timer.log_to(logger, gi)
+                    if j < len(plan) - 1:
+                        counters = counters.replace(
+                            gen_iterations=gi + 1,
+                            crit_iterations=counters.crit_iterations + nv,
+                            crit_dem_iterations=(
+                                counters.crit_dem_iterations + nv
+                            ),
+                        )
+                pending.append((vecs, metas))
+                n_pending += len(plan)
+                if n_pending >= cfg.metric_flush_every:
                     flush()
-                timer.step()
-                if logger is not None and gi % 10 == 0:
-                    timer.log_to(logger, gi)
 
                 # --- validation per fold (reference :842-865) ---
                 if xv is not None and gi % cfg.validate_every == 0:
