@@ -19,6 +19,9 @@ sys.path.insert(0, ".")
 
 PHASES = ("validate", "micro", "critic", "superstep", "ab", "roofline",
           "anatomy")
+# Extra phases not in the default sweep (request explicitly):
+#   anchor — scripts/fold_anchor.py, the measured 4-fold wall-clock anchor;
+#   bench  — the BENCH headline (depgan_tpu.benchmarks.gen_inference_bench).
 
 
 def run_phase(name, fn):
@@ -72,6 +75,17 @@ def main():
         import kernel_anatomy
 
         run_phase("kernel_anatomy", kernel_anatomy.main)
+    if "anchor" in want:
+        import fold_anchor
+
+        run_phase("fold_anchor", fold_anchor.main)
+    if "bench" in want:
+        import json
+
+        from depgan_tpu.benchmarks import gen_inference_bench
+
+        run_phase("bench", lambda: print(json.dumps(gen_inference_bench()),
+                                         flush=True))
 
 
 if __name__ == "__main__":
