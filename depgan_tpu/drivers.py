@@ -233,13 +233,38 @@ def generator_loader(model_cfg: ModelConfig, weights_pattern: str):
     def weights_for_fold(fold: int):
         model, variables = init_generator(model_cfg, jax.random.key(0))
         path = Path(weights_pattern.format(fold=fold))
-        if not path.is_file():
+        if path.is_file() and path.suffix == ".h5":
+            variables = h5_import.import_keras_h5(str(path), variables)
+        elif path.is_dir():
+            from flax import traverse_util
+            from flax.core import unfreeze
+
+            from .io.checkpoint import load_generator_variables
+
+            loaded = load_generator_variables(path)
+            # Restore by flattened path onto the built tree's structure
+            # (orbax returns plain dicts; the built tree may be frozen) —
+            # shape agreement is checked leaf by leaf.
+            out = {}
+            for coll in ("params", "batch_stats"):
+                t_flat = traverse_util.flatten_dict(
+                    unfreeze(variables[coll]))
+                l_flat = traverse_util.flatten_dict(loaded[coll])
+                missing = set(t_flat) - set(l_flat)
+                if missing:
+                    raise ValueError(
+                        f"checkpoint {path} lacks {coll} entries: "
+                        f"{sorted('/'.join(k) for k in missing)[:5]}")
+                out[coll] = traverse_util.unflatten_dict({
+                    k: jax.numpy.asarray(l_flat[k], t.dtype).reshape(t.shape)
+                    for k, t in t_flat.items()
+                })
+            variables = out
+        elif not path.exists():
             raise FileNotFoundError(
                 f"no weights for fold {fold}: {path} "
                 f"(from pattern '{weights_pattern}')"
             )
-        if path.suffix == ".h5":
-            variables = h5_import.import_keras_h5(str(path), variables)
         else:
             raise ValueError(f"unsupported weights file: {path}")
         return model, variables

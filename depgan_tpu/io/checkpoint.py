@@ -86,6 +86,38 @@ class CheckpointManager:
         self.manager.close()
 
 
+def load_generator_variables(directory: str | Path, step: int | None = None):
+    """Template-free restore of just the generator variables from a
+    single-fold training checkpoint directory (the ones ``run_gan_training``
+    writes) — lets ``test-gan`` run straight off an orbax checkpoint with no
+    .h5 export side-channel. Returns ``{"params", "batch_stats"}`` as host
+    arrays; ``step=None`` restores the latest."""
+    ocp = _ocp()
+    directory = Path(directory).absolute()
+    manager = ocp.CheckpointManager(directory)
+    try:
+        step = step if step is not None else manager.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {directory}")
+        restored = manager.restore(
+            step,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore()),
+        )
+    finally:
+        manager.close()
+    state = restored["state"]
+    for k in ("g_params", "g_stats"):
+        if k not in state:
+            raise ValueError(
+                f"{directory} step {step} is not a GAN training checkpoint "
+                f"(missing '{k}'; found {sorted(state)})"
+            )
+    return {
+        "params": jax.tree.map(np.asarray, state["g_params"]),
+        "batch_stats": jax.tree.map(np.asarray, state["g_stats"]),
+    }
+
+
 def export_generator_h5(state, path: str | Path) -> None:
     """Write the generator as a reference-compatible Keras weights file."""
     variables = {

@@ -119,6 +119,39 @@ def log_superstep_metrics(log, metrics, counters, n_valid, prefix: str = ""):
     return gen_aux
 
 
+def plan_dispatch_chunk(i, n_batches, d, gen_iterations, cfg, chunk_len,
+                        d_iters_for_gi, validates=True, checkpoints=True):
+    """Plan ONE device dispatch: the supersteps from epoch position ``i``
+    up to the first point the host genuinely needs the state back — a
+    validation or checkpoint boundary, a D-schedule change, the epoch end,
+    or ``chunk_len`` supersteps. The single source of truth for the chunk
+    boundaries shared by ``GanTrainer.fit_fold`` and
+    ``MultiFoldGanTrainer.fit`` — the trajectory-identity guarantees
+    (tests/test_training.py, tests/test_multi_fold.py) depend on both
+    trainers cutting chunks at exactly these points.
+
+    Returns ``([(start, n_valid)], new_i)``: per planned superstep the epoch
+    position of its first batch and how many of its D rows are real batches
+    (epoch tails give short rows, reference :802).
+    """
+    plan = []
+    gi_sim = gen_iterations
+    while True:
+        n_valid = min(d, n_batches - i)
+        plan.append((i, n_valid))
+        i += n_valid
+        boundary = (
+            (validates and gi_sim % cfg.validate_every == 0)
+            or (checkpoints and (gi_sim + 1) % cfg.checkpoint_every == 0)
+        )
+        gi_sim += 1
+        if (d != cfg.d_iters or chunk_len == 1 or boundary
+                or len(plan) >= chunk_len or i >= n_batches
+                or d_iters_for_gi(gi_sim) != d):
+            break
+    return plan, i
+
+
 @dataclass
 class SuperstepMetrics:
     """Everything the reference logs, at full per-iteration resolution."""
@@ -683,29 +716,21 @@ class GanTrainer:
 
                 # ---- plan one device dispatch: a single superstep (warm
                 # phase, or chunking off) or up to chunk_len steady
-                # supersteps ending exactly at the first validation/
-                # checkpoint boundary or D-schedule change — the host needs
-                # the intermediate state only at those points, so chunking
+                # supersteps — boundaries are the shared planner's
+                # (plan_dispatch_chunk above); the host needs the
+                # intermediate state only at those points, so chunking
                 # changes no observable behaviour (trajectory identity
                 # pinned by tests/test_training.py).
+                spans, i = plan_dispatch_chunk(
+                    i, n_batches, d, counters.gen_iterations, cfg, chunk_len,
+                    self._d_iters_for_gi,
+                    checkpoints=checkpoint_fn is not None,
+                )
                 plan = []  # (index block, n_valid) per superstep
-                gi_sim = counters.gen_iterations
-                while True:
-                    n_valid = min(d, n_batches - i)
+                for start, n_valid in spans:
                     block = np.zeros((d, cfg.batch_size), np.int32)
-                    block[:n_valid] = idx_epoch[i : i + n_valid]
+                    block[:n_valid] = idx_epoch[start : start + n_valid]
                     plan.append((block, n_valid))
-                    i += n_valid
-                    boundary = (
-                        gi_sim % cfg.validate_every == 0
-                        or (checkpoint_fn is not None
-                            and (gi_sim + 1) % cfg.checkpoint_every == 0)
-                    )
-                    gi_sim += 1
-                    if (d != cfg.d_iters or chunk_len == 1 or boundary
-                            or len(plan) >= chunk_len or i >= n_batches
-                            or self._d_iters_for_gi(gi_sim) != d):
-                        break
 
                 if logger is not None and not graph_logged:
                     # TensorBoard graph tab (reference log_graph :174-175,:510):

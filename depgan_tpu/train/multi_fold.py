@@ -34,6 +34,7 @@ from .gan_trainer import (
     _GEN_KEYS,
     GanTrainer,
     log_superstep_metrics,
+    plan_dispatch_chunk,
     unpack_superstep_metrics,
 )
 from .state import Counters
@@ -291,29 +292,25 @@ class MultiFoldGanTrainer:
             while i < n_batches:
                 d = self.base._d_iters_for(counters)
 
-                # ---- plan one chunked dispatch (see gan_trainer.fit_fold:
-                # same boundaries — validation, checkpoint, D change).
+                # ---- plan one chunked dispatch: the SAME boundaries as the
+                # sequential trainer (gan_trainer.plan_dispatch_chunk —
+                # validation, checkpoint, D change, epoch end).
+                spans, i = plan_dispatch_chunk(
+                    i, n_batches, d, counters.gen_iterations, cfg, chunk_len,
+                    self.base._d_iters_for_gi,
+                    validates=xv is not None,
+                    checkpoints=checkpoint_fn is not None,
+                )
                 plan = []  # (blocks (F, D, B), n_valid)
-                gi_sim = counters.gen_iterations
-                while True:
-                    n_valid = min(d, n_batches - i)
+                for start, n_valid in spans:
                     blocks = np.zeros(
                         (self.n_folds, d, cfg.batch_size), np.int32
                     )
                     for f in range(self.n_folds):
-                        blocks[f, :n_valid] = epochs_idx[f][i : i + n_valid]
+                        blocks[f, :n_valid] = (
+                            epochs_idx[f][start : start + n_valid]
+                        )
                     plan.append((blocks, n_valid))
-                    i += n_valid
-                    boundary = (
-                        (xv is not None and gi_sim % cfg.validate_every == 0)
-                        or (checkpoint_fn is not None
-                            and (gi_sim + 1) % cfg.checkpoint_every == 0)
-                    )
-                    gi_sim += 1
-                    if (d != cfg.d_iters or chunk_len == 1 or boundary
-                            or len(plan) >= chunk_len or i >= n_batches
-                            or self.base._d_iters_for_gi(gi_sim) != d):
-                        break
 
                 # Fixed chunk length per D variant (padded) = one compile.
                 L = chunk_len if d == cfg.d_iters and chunk_len > 1 else 1

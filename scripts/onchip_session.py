@@ -7,7 +7,10 @@ ONE process. onchip_validate gates the rest: if any kernel fails its
 XLA-twin check, the profiles are meaningless and are skipped.
 
 Run (real TPU): python scripts/onchip_session.py [phases]
-  phases: comma list of {validate,micro,critic,superstep,ab}; default all.
+  phases: comma list of {validate,micro,critic,superstep,ab,roofline,
+  anatomy}; default all of those. Two more are opt-in only (request them
+  explicitly): anchor (scripts/fold_anchor.py, the measured training-wall
+  anchor) and bench (the BENCH headline inference number).
 """
 from __future__ import annotations
 
@@ -78,7 +81,7 @@ def main():
     if "anchor" in want:
         import fold_anchor
 
-        run_phase("fold_anchor", fold_anchor.main)
+        run_phase("anchor", fold_anchor.main)
     if "bench" in want:
         import json
 
