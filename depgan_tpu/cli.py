@@ -105,6 +105,9 @@ def main(argv=None) -> int:
     p.add_argument("--model-dir", default="models")
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--n-data", type=int, default=-1)
+    p.add_argument("--folds-parallel", action="store_true",
+                   help="train all folds concurrently on a (fold, data) mesh "
+                        "(one fold per device group)")
 
     p = sub.add_parser("test-gan", help="GAN inference + evaluation, 4-fold")
     _add_common(p, train_manifests=False)
@@ -183,13 +186,22 @@ def main(argv=None) -> int:
         from . import drivers
         from .parallel import make_mesh
 
-        mesh = make_mesh(n_data=args.n_data)
         cfg = UResNetTrainConfig(batch_size=args.batch_size, n_epochs=args.epochs)
-        drivers.run_uresnet_training(
-            _model_cfg(args, n_out=4, dropout="uresnet"), cfg, _data_cfg(args),
-            run_name=args.run_name, folds=tuple(args.folds),
-            log_dir=args.log_dir, model_dir=args.model_dir, mesh=mesh,
-        )
+        if args.folds_parallel:
+            mesh = make_mesh(n_data=args.n_data, n_fold=len(args.folds))
+            drivers.run_uresnet_training_multifold(
+                _model_cfg(args, n_out=4, dropout="uresnet"), cfg,
+                _data_cfg(args), run_name=args.run_name,
+                folds=tuple(args.folds), log_dir=args.log_dir,
+                model_dir=args.model_dir, mesh=mesh,
+            )
+        else:
+            mesh = make_mesh(n_data=args.n_data)
+            drivers.run_uresnet_training(
+                _model_cfg(args, n_out=4, dropout="uresnet"), cfg, _data_cfg(args),
+                run_name=args.run_name, folds=tuple(args.folds),
+                log_dir=args.log_dir, model_dir=args.model_dir, mesh=mesh,
+            )
     elif args.cmd == "test-gan":
         from . import drivers
         from .eval.runner import run_gan_testing

@@ -150,6 +150,14 @@ class UResNetTrainConfig:
     n_classes: int = N_CHANGE_CLASSES
     shuffle_each_epoch: bool = True
     checkpoint_every: int = 1  # epochs (reference saves every epoch, :620-625)
+    # Batches scanned inside ONE device dispatch (same dispatch-marshaling
+    # economics as GanTrainConfig.dispatch_chunk: ~2.6 s/call on the remote
+    # backend). The host needs nothing mid-epoch, so chunks are free up to
+    # compile count: epochs run as full chunks of this length plus one
+    # remainder chunk (two compiled programs). Trajectory-identical to
+    # per-batch dispatch (the in-scan RNG split sequence IS the host
+    # sequence). 0 = auto (32); 1 = one dispatch per batch.
+    dispatch_chunk: int = 0
     seed: int = 0
 
 

@@ -224,6 +224,67 @@ def run_uresnet_training(
     return states
 
 
+def run_uresnet_training_multifold(
+    model_cfg: ModelConfig,
+    train_cfg: UResNetTrainConfig,
+    data_cfg: DataConfig,
+    run_name: str = "depuresnet",
+    folds=(1, 2, 3, 4),
+    log_dir: str = "logs",
+    model_dir: str = "models",
+    mesh=None,
+):
+    """All UResNet folds concurrently on the mesh's fold axis — the
+    reference's 4-fold supervised workload
+    (`DEP-UResNet-wNoises-training-4fold.py:434-626`) is embarrassingly
+    parallel like the GAN folds. Writes the sequential driver's exact
+    artifact set per fold: model_*.json, loss_*.txt / val_loss_*.txt
+    histories and the trained_*.h5 export."""
+    from .config import save_config
+    from .parallel import make_mesh
+    from .train.multi_fold import MultiFoldUResNetTrainer, unstack_state
+
+    if mesh is None:
+        mesh = make_mesh(n_fold=len(folds))
+    trainer = MultiFoldUResNetTrainer(model_cfg, train_cfg, mesh)
+    Path(model_dir).mkdir(parents=True, exist_ok=True)
+    Path(log_dir).mkdir(parents=True, exist_ok=True)
+
+    per_fold, per_fold_val, loss_hist, val_hist = [], [], [], []
+    for fold in folds:
+        name = f"{run_name}_fold{fold}"
+        save_config(model_cfg, Path(model_dir) / f"model_{name}.json")
+        x, y = dataset.load_uresnet_training_fold(data_cfg, fold)
+        x_tr, x_val, y_tr, y_val = train_val_split(
+            x, y, data_cfg.val_fraction, data_cfg.split_seed
+        )
+        per_fold.append((x_tr, y_tr))
+        per_fold_val.append((x_val, y_val))
+        loss_hist.append(LossHistory(Path(log_dir) / f"loss_{name}.txt"))
+        val_hist.append(LossHistory(Path(log_dir) / f"val_loss_{name}.txt"))
+
+    states = trainer.init_states(folds)
+    ckpt = CheckpointManager(Path(model_dir) / f"{run_name}_allfolds")
+
+    def checkpoint_fn(s, epoch):
+        ckpt.save(epoch, s)
+
+    states = trainer.fit(
+        states, per_fold, per_fold_val, loss_histories=loss_hist,
+        val_loss_histories=val_hist, checkpoint_fn=checkpoint_fn,
+        fold_ids=folds,
+    )
+    ckpt.close()
+
+    out = {}
+    for i, fold in enumerate(folds):
+        state = unstack_state(states, i)
+        export_uresnet_h5(
+            state, Path(model_dir) / f"trained_{run_name}_fold{fold}.h5")
+        out[fold] = state
+    return out
+
+
 def generator_loader(model_cfg: ModelConfig, weights_pattern: str):
     """``weights_for_fold`` factory for eval/runner.py: builds the generator
     and imports ``weights_pattern.format(fold=k)`` (a Keras .h5 or an orbax

@@ -386,18 +386,28 @@ def _w_rows_for_staging(w4: jnp.ndarray, c4: int, co4: int) -> jnp.ndarray:
 
 def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
             n: int, c4: int, co4: int, strip: int, mode: str,
-            head_co4: int = 0):
+            head_co4: int = 0, pool: str = "", pool_ref=None):
     """One batch element. x_ref (1, N+2, N+2, 4C); out_ref same spatial with
     4Co channels; w_ref (4, 4C, 4Co); b/gamma/beta (1, 4Co|4C).
 
     mode='head' additionally fuses the generator's 1x1 head conv + tanh:
     gamma_ref carries the (4Co, Ho4) s2d head kernel, beta_ref the (1, Ho4)
     head bias, and out_ref is the UNPADDED (1, N, N, Ho4) head output — the
-    relu'd conv activations never leave VMEM."""
+    relu'd conv activations never leave VMEM.
+
+    pool='pixel'|'s2d' (via conv3x3_s2d_fused_pool) additionally emits the
+    2x2 max-pool of the conv output into ``pool_ref`` from the SAME strip
+    pass — the conv already has the plane in VMEM, so the separate relayout
+    kernel's HBM re-read + launch disappear and the pool's VPU work
+    overlaps the next strip's matmuls. 'pixel' = pixel-domain (1, N, N, Co)
+    (pool_s2d twin); 's2d' = next level's padded s2d (1, N/2+2, N/2+2, 4Co)
+    (pool_to_s2d twin; needs even strip so row pairs stay in-strip)."""
     c = c4 // 4
     x = x_ref[0]  # (P, P, 4C)
     if mode != "head":
         _zero_ring_ref(out_ref, n)  # ring stays zero; interior overwritten
+    if pool == "s2d":
+        _zero_ring_ref(pool_ref, n // 2)
 
     bias = b_ref[0]
     if mode == "film":
@@ -492,6 +502,31 @@ def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
             y = trunk + jnp.maximum(y * gamma[None, :] + beta[None, :], 0.0)
         y = y.reshape(strip, n, co4).astype(out_ref.dtype)
         out_ref[0, j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :] = y
+        if pool:
+            # Pool from the STORED (dtype-rounded) values so the fused
+            # result bit-matches the separate pool kernels reading HBM.
+            cp = co4 // 4
+            gmax = jnp.maximum(
+                jnp.maximum(y[:, :, 0:cp], y[:, :, cp : 2 * cp]),
+                jnp.maximum(y[:, :, 2 * cp : 3 * cp], y[:, :, 3 * cp :]),
+            )  # (strip, n, cp) — pooled pixel rows j0..j0+strip-1
+            if pool == "pixel":
+                pool_ref[0, j0 : j0 + strip, 0:n, :] = gmax
+            else:  # 's2d': interior row r -> next row r//2, group-row r%2
+                s2, n2 = strip // 2, n // 2
+                rows4 = gmax.reshape(s2, 2, n, cp)
+                for p in range(2):
+                    t = jnp.swapaxes(rows4[:, p], 0, 1)  # (n, s2, cp)
+                    tq = t.reshape(n2, 2, s2, cp)
+                    for q in range(2):
+                        blk = jnp.swapaxes(tq[:, q], 0, 1)  # (s2, n2, cp)
+                        dst = p * 2 + q
+                        pool_ref[
+                            0,
+                            j0 // 2 + 1 : j0 // 2 + 1 + s2,
+                            1 : n2 + 1,
+                            dst * cp : (dst + 1) * cp,
+                        ] = blk
 
 
 def conv3x3_s2d_fused(
@@ -705,6 +740,102 @@ def _conv3x3_s2d_impl(
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x_padded.size * 2 + b * p_dim * p_dim * co4 * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x_padded, w_flat, bias, gamma, beta)
+
+
+def _kernel_pool(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref,
+                 pool_ref, u_scratch, *, n, c4, co4, strip, mode, pool):
+    """Positional adapter: pallas passes the second output ref between
+    out_ref and the scratch."""
+    _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch,
+            n=n, c4=c4, co4=co4, strip=strip, mode=mode,
+            pool=pool, pool_ref=pool_ref)
+
+
+def conv3x3_s2d_fused_pool(
+    x_padded: jnp.ndarray,  # (B, N+2, N+2, 4C)
+    w4: jnp.ndarray,        # (2, 2, 4C, 4Co)
+    bias4: jnp.ndarray,     # (4Co,)
+    mode: str = "relu",
+    strip: int = 8,
+    pool: str = "s2d",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused s2d conv that ALSO emits the 2x2 max-pool of its output from
+    the same VMEM pass (VERDICT r3 item 3: the level-1/2 relayout stages —
+    pool_to_s2d ~8 ms net vs a 1.7 ms floor at batch 256 — re-read a plane
+    the conv kernel just had in VMEM).
+
+    Returns ``(conv_out, pooled)`` where conv_out is the usual padded s2d
+    plane (still stored — it is the encoder skip) and pooled is
+      pool='s2d'  : the NEXT level's padded s2d (B, N/2+2, N/2+2, 4Co)
+                    (bit-matches pool_to_s2d_pallas(conv_out)),
+      pool='pixel': the pixel-domain pool (B, N, N, Co)
+                    (bit-matches pool_s2d_pallas(conv_out)).
+
+    INFERENCE-ONLY: no VJP (training keeps the separate kernels, whose
+    custom VJPs are already validated); used by FastGenerator behind the
+    ``fuse_pool`` knob after on-chip validation (CLAUDE.md kernel gate)."""
+    b, p_dim, _, c4 = x_padded.shape
+    n = p_dim - 2
+    co4 = w4.shape[-1]
+    if mode not in ("relu", "none"):
+        raise ValueError("pool fusion supports mode='relu'|'none' only")
+    strip = _norm_strip(n, strip)
+    if pool == "s2d" and (strip % 2 or n % 2):
+        raise ValueError("pool='s2d' needs even strip and even n")
+    if pool not in ("s2d", "pixel"):
+        raise ValueError(f"unknown pool mode {pool!r}")
+    cp = co4 // 4
+    n2 = n // 2
+    dt = x_padded.dtype
+    w_flat = _w_rows_for_staging(w4, c4, co4).astype(dt)
+    bias = bias4.reshape(1, co4).astype(jnp.float32)
+    gamma = jnp.zeros((b, 1, c4), jnp.float32)
+    beta = jnp.zeros((b, 1, c4), jnp.float32)
+
+    if pool == "s2d":
+        pool_shape = (b, n2 + 2, n2 + 2, co4)
+        pool_block = (1, n2 + 2, n2 + 2, co4)
+    else:
+        pool_shape = (b, n, n, cp)
+        pool_block = (1, n, n, cp)
+
+    kernel = partial(_kernel_pool, n=n, c4=c4, co4=co4, strip=strip,
+                     mode=mode, pool=pool)
+    flops = 2 * b * n * n * 4 * c4 * co4
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, p_dim, p_dim, co4), dt),
+            jax.ShapeDtypeStruct(pool_shape, dt),
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, p_dim, p_dim, c4), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec((1, 1, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, p_dim, p_dim, co4), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(pool_block, lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((n + 1, n + 1, c4), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_padded.size * 2
+            + b * p_dim * p_dim * co4 * 2
+            + int(np.prod(pool_shape)) * 2,
             transcendentals=0,
         ),
         interpret=_interpret(),

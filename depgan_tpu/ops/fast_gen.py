@@ -109,6 +109,25 @@ class FusedGenerator:
         # default everywhere: measured 9% slower than the XLA head at
         # production shapes (see the FastGenerator note below). A/B knob.
         self.fuse_head = False
+        # Fuse the encoder pools into the preceding conv kernel's epilogue
+        # (conv3x3_s2d_fused_pool): the separate pool_to_s2d/pool_s2d
+        # kernels re-read from HBM a plane the conv just had in VMEM
+        # (pool_to_s2d measured ~5x its HBM floor, docs/PERF.md round-3
+        # roofline). INFERENCE-ONLY (no VJP). Default from the
+        # DEPGAN_FUSE_POOL env knob (ab_inference A/B), off until on-chip
+        # validated + measured faster (CLAUDE.md kernel gate).
+        import os as _os
+
+        self.fuse_pool = _os.environ.get("DEPGAN_FUSE_POOL") == "1"
+        # Run the 1x1 head conv on the bf16 activations (f32 accumulation
+        # via preferred_element_type) instead of casting the full 128-ch
+        # plane to f32 first: kills the 2x-bytes cast pass + halves the
+        # head conv's input traffic (head stage measured 7.2 ms vs a 1.43
+        # floor at batch 256, docs/PERF.md round-3 roofline). Numerics: the
+        # kernel is bf16-rounded (logit error ~1e-2 scale; same tolerance
+        # class as the validated fuse_head kernel). A/B knob, off by
+        # default until measured faster AND within eval tolerance on chip.
+        self.head_bf16 = _os.environ.get("DEPGAN_HEAD_BF16") == "1"
         self.dtype = compute_dtype
         # Row-strip size of the fused conv kernels (perf knob; kernels halve
         # it until it divides the level's block count). 16 measured ~2%
@@ -272,10 +291,14 @@ class FusedGenerator:
             beta = S.tile_channel_params(beta)
         return jax.nn.relu(hn * gamma[:, None, None, :] + beta[:, None, None, :])
 
-    def _block_pallas(self, W, x_padded, site, cin_name, cout_name, mods):
+    def _block_pallas(self, W, x_padded, site, cin_name, cout_name, mods,
+                      pool: str = ""):
         """Site chain through the fused Pallas kernel: all three convs +
-        bias/relu/FiLM/residual epilogues, activations in padded s2d."""
-        from .conv_s2d_pallas import conv3x3_s2d_fused
+        bias/relu/FiLM/residual epilogues, activations in padded s2d.
+        ``pool`` ('s2d'|'pixel', fuse_pool knob) makes the LAST conv also
+        emit its 2x2 max-pool from the same VMEM pass; returns (h1, pooled)
+        then instead of h1."""
+        from .conv_s2d_pallas import conv3x3_s2d_fused, conv3x3_s2d_fused_pool
 
         dt = self.dtype
         gamma, beta = mods[site]
@@ -288,6 +311,12 @@ class FusedGenerator:
             S.tile_channel_params(gamma), S.tile_channel_params(beta),
             mode="film", strip=self.strip,
         )
+        if pool:
+            return conv3x3_s2d_fused_pool(
+                site_out, W[f"{cout_name}/kernel"].astype(dt),
+                W[f"{cout_name}/bias"], mode="relu", strip=self.strip,
+                pool=pool,
+            )
         h1 = conv3x3_s2d_fused(
             site_out, W[f"{cout_name}/kernel"].astype(dt), W[f"{cout_name}/bias"],
             mode="relu", strip=self.strip,
@@ -385,9 +414,21 @@ class FusedGenerator:
                     x_in = entry_pack(h, c_pad=self.entry_pad_cin)
                 else:
                     x_in = pad_s2d(S.s2d_unshifted(h))
+                next_pallas = (level + 1) in self.pallas_levels
+                if self.fuse_pool:
+                    # The last conv emits its own pool from VMEM — the
+                    # separate relayout kernel (and its HBM re-read of the
+                    # skip plane) disappears.
+                    h1, pooled = self._block_pallas(
+                        W, x_in, site, cin, cout, mods,
+                        pool="s2d" if next_pallas else "pixel",
+                    )
+                    skips[level] = (h1, "padded")
+                    h, h_layout = pooled, ("padded" if next_pallas else "pixel")
+                    continue
                 h1 = self._block_pallas(W, x_in, site, cin, cout, mods)
                 skips[level] = (h1, "padded")
-                if (level + 1) in self.pallas_levels:
+                if next_pallas:
                     # Pool straight into the next level's padded s2d layout.
                     h, h_layout = pool_to_s2d_pallas(h1), "padded"
                 else:
@@ -480,10 +521,18 @@ class FusedGenerator:
             key = "gen_segmentation/kernel_px" if "gen_segmentation/kernel_px" in W else "gen_segmentation/kernel"
             kseg = W[key].astype(jnp.float32)
             bseg = W[key.replace("kernel", "bias")].astype(jnp.float32)
-        h = h.astype(jnp.float32)
-        logits = lax.conv_general_dilated(
-            h, kseg, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        ) + bseg
+        if self.head_bf16:
+            logits = lax.conv_general_dilated(
+                h.astype(dt), kseg.astype(dt), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            ) + bseg
+        else:
+            h = h.astype(jnp.float32)
+            logits = lax.conv_general_dilated(
+                h, kseg, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ) + bseg
         if head_s2d_padded:
             logits = S.d2s(unpad_s2d(logits))
         elif head_s2d:

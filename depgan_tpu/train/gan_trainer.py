@@ -313,6 +313,16 @@ class GanTrainer:
             noises_dem = shard_b(jax.random.normal(k_ndem, noise_shape), 1)
             eps_dem = shard_b(jax.random.uniform(k_edem, (d_iters, B, 1, 1, 1)), 1)
 
+            # ONE gather each for the whole superstep's batches (round-4
+            # anchor finding): gathering per critic iteration from the
+            # device-resident fold (2*D+1 gathers of B rows from a ~1.3 GB
+            # array) is what separated the 2.8 s training superstep from
+            # the 0.607 s isolated one — the per-iteration dynamic gathers
+            # dominate. (D, B, ...) here is a few hundred MB at worst
+            # (D=100 warm-up) and the scan consumes static slices of it.
+            xb = shard_b(x_all[idx], 1)
+            yb = shard_b(y_all[idx], 1)
+
             # ---- critic inner loops (reference :802-829) ----
             # The reference runs the Y2 loop (:802-814) to completion, then
             # the DEM loop (:817-829); the two are INDEPENDENT — separate
@@ -329,9 +339,9 @@ class GanTrainer:
             # behind ``merge_critic_loops`` for future hardware/compilers.
             def crit_body(carry, xs):
                 params2, opt2 = carry  # leaves stacked (2, ...): [Y2, DEM]
-                b_idx, z2, ep2, ok = xs  # z2 (2, B, nz, 1), ep2 (2, B,1,1,1)
-                x = shard_b(x_all[b_idx])
-                y2 = shard_b(y_all[b_idx])
+                x, y2, z2, ep2, ok = xs  # z2 (2, B, nz, 1), ep2 (2, B,1,1,1)
+                x = shard_b(x)
+                y2 = shard_b(y2)
                 y1 = x[..., :1]
                 dem2 = gen_fwd(
                     jnp.concatenate([x, x]),
@@ -372,9 +382,9 @@ class GanTrainer:
 
                 def body(carry, xs):
                     params, opt = carry
-                    b_idx, z, ep, ok = xs
-                    x = shard_b(x_all[b_idx])
-                    y2 = shard_b(y_all[b_idx])
+                    x, y2, z, ep, ok = xs
+                    x = shard_b(x)
+                    y2 = shard_b(y2)
                     y1 = x[..., :1]
                     dem = gen_fwd(x, z)
                     if which == "y2":
@@ -412,7 +422,8 @@ class GanTrainer:
                     crit_body,
                     (params2, opt2),
                     (
-                        idx,
+                        xb,
+                        yb,
                         jnp.stack([noises_y2, noises_dem], axis=1),
                         jnp.stack([eps_y2, eps_dem], axis=1),
                         valid,
@@ -428,12 +439,12 @@ class GanTrainer:
                 (dy2_params, dy2_opt), (y2_real, y2_fake) = jax.lax.scan(
                     crit_seq_body("y2"),
                     (state.dy2_params, state.dy2_opt),
-                    (idx, noises_y2, eps_y2, valid),
+                    (xb, yb, noises_y2, eps_y2, valid),
                 )
                 (ddem_params, ddem_opt), (dem_real_l, dem_fake_l) = jax.lax.scan(
                     crit_seq_body("dem"),
                     (state.ddem_params, state.ddem_opt),
-                    (idx, noises_dem, eps_dem, valid),
+                    (xb, yb, noises_dem, eps_dem, valid),
                 )
                 state = state.replace(
                     dy2_params=dy2_params, dy2_opt=dy2_opt,
@@ -442,9 +453,8 @@ class GanTrainer:
 
             # ---- generator step on the last consumed batch (reference :873) ----
             last = jnp.argmax(jnp.cumsum(valid.astype(jnp.int32))) # last valid iter
-            gen_idx = idx[last]
-            x = shard_b(x_all[gen_idx])
-            y2 = shard_b(y_all[gen_idx])
+            x = shard_b(xb[last])
+            y2 = shard_b(yb[last])
             y1 = x[..., :1]
 
             crit_y2_fn, _ = make_critic_fns(state.dy2_params)
@@ -604,11 +614,17 @@ class GanTrainer:
 
         return chunk
 
-    def _chunk_step(self, d: int):
-        fn = self._chunk_jits.get(d)
+    def _chunk_step(self, d: int, length: int):
+        # Keyed on (d, L): sizing the scan to the actual span count instead
+        # of padding to chunk_len stops the device from executing masked-out
+        # supersteps (an epoch tail padded 10 -> 25 wasted 15 full
+        # supersteps of compute — round-4 anchor finding). Lengths per run
+        # are few (full chunks + one tail per epoch shape), so the compile
+        # count stays bounded like UResNetTrainer.chunk_step_fn's.
+        fn = self._chunk_jits.get((d, length))
         if fn is None:
             fn = jax.jit(self._build_chunk(d), donate_argnums=0)
-            self._chunk_jits[d] = fn
+            self._chunk_jits[(d, length)] = fn
         return fn
 
     def superstep(self, state, x_all, y_all, idx_block, n_valid, key):
@@ -749,7 +765,7 @@ class GanTrainer:
                     )
                     vec_arr = self._pack_metrics(metrics)
                 else:
-                    L = chunk_len  # fixed length: one compile per D variant
+                    L = len(plan)
                     idx_stack = np.zeros((L, d, cfg.batch_size), np.int32)
                     nvalid = np.zeros((L,), np.int32)
                     active = np.zeros((L,), bool)
@@ -760,7 +776,7 @@ class GanTrainer:
                         idxs = jax.device_put(
                             idxs, meshlib.index_sharding(self.mesh, 3)
                         )
-                    state, key, vec_arr = self._chunk_step(d)(
+                    state, key, vec_arr = self._chunk_step(d, L)(
                         state, x_all, y_all, idxs,
                         jnp.asarray(nvalid), jnp.asarray(active), key,
                     )

@@ -20,6 +20,8 @@ fold follows the fold-1 warm-up schedule — equivalent to the
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 import jax
@@ -40,6 +42,21 @@ from .gan_trainer import (
 from .state import Counters
 
 
+def shard_map(f, mesh, in_specs, out_specs):
+    """jax.shard_map across the JAX API rename, replication checks off (the
+    fold-stacked trainers return per-shard trees under fold specs)."""
+    try:
+        from jax import shard_map as _shard_map
+
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_rep=False)
+
+
 class MultiFoldGanTrainer:
     def __init__(self, model_cfg: ModelConfig, train_cfg: GanTrainConfig,
                  data_cfg: DataConfig, mesh):
@@ -56,18 +73,6 @@ class MultiFoldGanTrainer:
         # shard_map (not vmap): each fold's device group executes the plain
         # single-fold superstep on its own slice — no batched-conv rewrites,
         # no cross-fold communication.
-        try:
-            from jax import shard_map as _shard_map
-
-            def shard_map(f, mesh, in_specs, out_specs):
-                return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                                  out_specs=out_specs, check_vma=False)
-        except ImportError:
-            from jax.experimental.shard_map import shard_map as _shard_map
-
-            def shard_map(f, mesh, in_specs, out_specs):
-                return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                                  out_specs=out_specs, check_rep=False)
 
         def make_step(fn):
             def per_shard(state, x, y, idx, valid, key):
@@ -141,7 +146,7 @@ class MultiFoldGanTrainer:
         # One dispatch derives the whole chunk's key schedule: per superstep
         # j, key -> (key, sk_j); sk_j -> F per-fold keys — exactly the
         # sequential loop's `split(key)` + `split(sk, F)`. Emits RAW key
-        # data (n, F, 2) so partial chunks can zero-pad to the fixed length.
+        # data (n, F, 2) (typed keys cannot ride shard_map replicated specs).
         def chunk_keys(key, n):
             def body(k, _):
                 k, sk = jax.random.split(k)
@@ -312,8 +317,12 @@ class MultiFoldGanTrainer:
                         )
                     plan.append((blocks, n_valid))
 
-                # Fixed chunk length per D variant (padded) = one compile.
-                L = chunk_len if d == cfg.d_iters and chunk_len > 1 else 1
+                # Chunk length = actual span count (keyed compile per
+                # (d, L)): padding to a fixed chunk_len made the device
+                # EXECUTE the masked-out supersteps — an epoch tail padded
+                # 10 -> 25 wasted 15 supersteps of compute (round-4 anchor
+                # finding, same fix as gan_trainer._chunk_step).
+                L = len(plan)
                 idx_stack = np.zeros(
                     (self.n_folds, L, d, cfg.batch_size), np.int32
                 )
@@ -322,12 +331,6 @@ class MultiFoldGanTrainer:
                 for j, (blk, nv) in enumerate(plan):
                     idx_stack[:, j], nvalid[j], active[j] = blk, nv, True
                 key, key_data = self._chunk_keys(key, len(plan))
-                if len(plan) < L:
-                    key_data = jnp.concatenate([
-                        key_data,
-                        jnp.zeros((L - len(plan),) + key_data.shape[1:],
-                                  key_data.dtype),
-                    ])
                 idxs = jax.device_put(jnp.asarray(idx_stack), self._idx_sharding)
                 states, vecs = self._chunk_step(d, L)(
                     states, x_all, y_all, idxs,
@@ -401,3 +404,227 @@ class MultiFoldGanTrainer:
 def unstack_state(states, fold_index: int):
     """Extract one fold's state from the stacked pytree (host-side)."""
     return jax.tree.map(lambda a: np.asarray(a)[fold_index], states)
+
+
+class MultiFoldUResNetTrainer:
+    """Concurrent multi-fold supervised UResNet training over the mesh's
+    `fold` axis — the reference's 4-fold workload
+    (`DEP-UResNet-wNoises-training-4fold.py:434-626`) is the same
+    embarrassingly-parallel shape as the GAN folds: sequential folds that
+    share nothing.
+
+    Mechanics mirror :class:`MultiFoldGanTrainer`: fold-stacked state
+    pytrees shard_mapped over `fold`, with the chunked scan-of-batches
+    dispatch of :class:`..uresnet_trainer.UResNetTrainer` inside each
+    fold's shard.
+
+    Trajectory note: the sequential driver seeds every fold's ``fit`` with
+    the SAME ``cfg.seed`` (drivers.run_uresnet_training), so the shuffle
+    indices, per-epoch noise, and dropout-key sequence are already shared
+    across folds — they replicate here verbatim (specs ``P()``), and only
+    the data and the per-fold init keys carry the fold axis. Each fold's
+    trajectory is therefore IDENTICAL to its sequential run up to data
+    truncation (folds truncate to the smallest fold's slice count for
+    static shapes; equal-sized folds match exactly —
+    tests/test_multi_fold.py pins this)."""
+
+    def __init__(self, model_cfg, train_cfg, mesh):
+        from .uresnet_trainer import UResNetTrainer
+
+        if FOLD_AXIS not in mesh.axis_names:
+            raise ValueError("mesh must carry a fold axis (parallel.make_mesh)")
+        self.mesh = mesh
+        self.n_folds = mesh.shape[FOLD_AXIS]
+        self.cfg = train_cfg
+        self.model_cfg = model_cfg
+        self.base = UResNetTrainer(model_cfg, train_cfg, mesh=None)
+        self._fold_sharding = NamedSharding(mesh, P(FOLD_AXIS))
+        self._chunk_jits: dict = {}
+
+        # Host key schedule: one dispatch derives the chunk's per-batch
+        # dropout keys with the exact sequential split sequence
+        # (uresnet_trainer.fit: `key, dk = split(key)` per batch). Raw key
+        # data so rows pass through shard_map replicated.
+        def chunk_keys(key, n):
+            def body(k, _):
+                k, dk = jax.random.split(k)
+                return k, jax.random.key_data(dk)
+
+            return jax.lax.scan(body, key, None, length=n)
+
+        self._chunk_keys = jax.jit(chunk_keys, static_argnums=1)
+
+        # Fold-stacked validation: the sequential chunked-CCE core
+        # shard_mapped over `fold` — one dispatch, (F,) losses.
+        val_core = self.base._val_core
+
+        def per_shard_val(state, xv, noise, yv):
+            state1 = jax.tree.map(lambda a: a[0], state)
+            loss = val_core(state1, xv[0], noise, yv[0])
+            return jnp.asarray(loss)[None]
+
+        fold = P(FOLD_AXIS)
+        self._val_step = jax.jit(
+            shard_map(
+                per_shard_val, self.mesh,
+                in_specs=(fold, fold, P(), fold),
+                out_specs=fold,
+            )
+        )
+
+    def _chunk_step(self, L: int):
+        fn = self._chunk_jits.get(L)
+        if fn is None:
+            update = self.base._update
+
+            def per_shard(state, x, y, noise, idx_stack, key_data):
+                # state/x/y lead with the local fold slice (1, ...); noise
+                # (n, Z, 1), idx_stack (L, B) and key_data (L, 2) are
+                # replicated — identical across folds by the sequential
+                # trainer's own seeding. Batches pre-gathered ONCE per
+                # chunk (uresnet_trainer.chunk_step_fn's round-4 scheme).
+                state1 = jax.tree.map(lambda a: a[0], state)
+                xb = x[0][idx_stack]
+                yb = y[0][idx_stack]
+                nb = noise[idx_stack]
+
+                def body(st, xs):
+                    xc, yc, nc, kd = xs
+                    st, loss = update(
+                        st, xc, yc, nc, jax.random.wrap_key_data(kd),
+                    )
+                    return st, loss
+
+                st, losses = jax.lax.scan(
+                    body, state1, (xb, yb, nb, key_data)
+                )
+                expand = lambda a: jnp.asarray(a)[None]
+                return jax.tree.map(expand, st), expand(losses)
+
+            fold = P(FOLD_AXIS)
+            fn = jax.jit(
+                shard_map(
+                    per_shard, self.mesh,
+                    in_specs=(fold, fold, fold, P(), P(), P()),
+                    out_specs=(fold, fold),
+                ),
+                donate_argnums=0,
+            )
+            self._chunk_jits[L] = fn
+        return fn
+
+    def init_states(self, fold_ids=None):
+        """Fold-stacked state with the sequential driver's exact per-fold
+        init keys (``key(seed + fold)``), leading axis sharded over `fold`."""
+        fold_ids = (tuple(fold_ids) if fold_ids is not None
+                    else tuple(range(1, self.n_folds + 1)))
+        if len(fold_ids) != self.n_folds:
+            raise ValueError(
+                f"{len(fold_ids)} folds for a {self.n_folds}-fold mesh")
+        keys = jnp.stack(
+            [jax.random.key(self.cfg.seed + f) for f in fold_ids]
+        )
+        stacked = jax.vmap(self.base.init_state)(keys)
+        return jax.device_put(stacked, self._fold_sharding)
+
+    def fit(self, states, per_fold_data, per_fold_val, n_epochs=None,
+            logger=None, loss_histories=None, val_loss_histories=None,
+            checkpoint_fn=None, rng_seed=None, fold_ids=None):
+        """Train all folds concurrently.
+
+        ``per_fold_data``/``per_fold_val``: [(x, y_labels)] per fold (labels
+        are one-hot-encoded here, like the sequential ``fit``).
+        ``loss_histories``/``val_loss_histories``: optional per-fold
+        LossHistory lists (the reference's loss_*.txt appends per fold).
+        """
+        from ..data.preprocess import one_hot
+
+        cfg = self.cfg
+        fold_ids = (tuple(fold_ids) if fold_ids is not None
+                    else tuple(range(1, self.n_folds + 1)))
+        if len(fold_ids) != self.n_folds:
+            raise ValueError(
+                f"{len(fold_ids)} folds for a {self.n_folds}-fold mesh")
+        n_epochs = n_epochs if n_epochs is not None else cfg.n_epochs
+        seed = rng_seed if rng_seed is not None else cfg.seed
+        key = jax.random.key(seed)
+
+        def enc(y_labels):
+            return (one_hot(y_labels.astype(int), cfg.n_classes)
+                    .astype(np.float32)
+                    .reshape(y_labels.shape[:-1] + (cfg.n_classes,)))
+
+        def stack(per_fold, encode_y):
+            n = min(a.shape[0] for a, _ in per_fold)
+            x = np.stack([a[:n] for a, _ in per_fold])
+            y = np.stack([
+                enc(b[:n]) if encode_y else b[:n] for _, b in per_fold
+            ])
+            return (
+                jax.device_put(jnp.asarray(x), self._fold_sharding),
+                jax.device_put(jnp.asarray(y), self._fold_sharding),
+                n,
+            )
+
+        x_all, y_all, n = stack(per_fold_data, True)
+        xv, yv, n_val = stack(per_fold_val, True)
+        key, vk = jax.random.split(key)
+        fixed_noise = jax.random.normal(
+            vk, (n_val, self.model_cfg.noise_size, 1)
+        )
+
+        shuffler = EpochShuffler(n, cfg.batch_size, seed)
+        log = logger.log_scalar if logger is not None else (lambda *a: None)
+        timer = StepTimer()
+        t0 = time.time()
+        for epoch in range(n_epochs):
+            idx_epoch = shuffler.epoch() if cfg.shuffle_each_epoch else (
+                np.arange(shuffler.n_batches * cfg.batch_size)
+                .reshape(shuffler.n_batches, cfg.batch_size).astype(np.int32)
+            )
+            key, nk = jax.random.split(key)
+            epoch_noise = jax.random.normal(
+                nk, (n, self.model_cfg.noise_size, 1)
+            )
+            n_batches = idx_epoch.shape[0]
+            chunk_len = self.base._chunk_len(n_batches)
+            losses = []
+            b = 0
+            while b < n_batches:
+                L = min(chunk_len, n_batches - b)
+                key, key_data = self._chunk_keys(key, L)
+                states, ls = self._chunk_step(L)(
+                    states, x_all, y_all, epoch_noise,
+                    jnp.asarray(idx_epoch[b : b + L]), key_data,
+                )
+                losses.append(ls)  # (F, L)
+                b += L
+            # One fetch per epoch for the whole fold x batch loss matrix.
+            train_losses = np.asarray(
+                jnp.concatenate(losses, axis=1)).mean(axis=1)
+            val_losses = np.asarray(self._val_step(states, xv, fixed_noise, yv))
+            states = states.replace(epoch=states.epoch + 1)
+
+            timer.step()
+            for f in range(self.n_folds):
+                pre = f"fold{fold_ids[f]}/"
+                log(pre + "loss", float(train_losses[f]), epoch)
+                log(pre + "val_loss", float(val_losses[f]), epoch)
+                if loss_histories is not None:
+                    loss_histories[f].append(float(train_losses[f]))
+                if val_loss_histories is not None:
+                    val_loss_histories[f].append(float(val_losses[f]))
+            if logger is not None:
+                timer.log_to(logger, epoch)
+            if checkpoint_fn is not None and (epoch + 1) % cfg.checkpoint_every == 0:
+                checkpoint_fn(states, epoch)
+            print(
+                f"EPOCH {epoch + 1}/{n_epochs} "
+                + " ".join(
+                    f"fold{fold_ids[f]}: loss={train_losses[f]:.5f} "
+                    f"val={val_losses[f]:.5f}"
+                    for f in range(self.n_folds)
+                )
+                + f" ({time.time() - t0:.1f}s)"
+            )
+        return states

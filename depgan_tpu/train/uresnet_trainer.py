@@ -58,6 +58,7 @@ class UResNetTrainer:
         self._data_parallel = meshlib.data_parallel(
             self.mesh, self.train_cfg.batch_size
         )
+        self._chunk_jits: dict = {}
         self._step = self._build_step()
         self._val_step = self._build_val_step()
 
@@ -87,11 +88,9 @@ class UResNetTrainer:
         else:
             shard_b = lambda a: a
 
-        @partial(jax.jit, donate_argnums=0)
-        def step(state, x_all, y_all, idx, noise, drop_key):
-            x = shard_b(x_all[idx])
-            y = shard_b(y_all[idx])
-            noise = shard_b(noise)
+        def update(state, x, y, noise, drop_key):
+            """One batch update on ALREADY-GATHERED batch tensors."""
+            x, y, noise = shard_b(x), shard_b(y), shard_b(noise)
 
             def loss_fn(params):
                 out, updates = model.apply(
@@ -114,7 +113,57 @@ class UResNetTrainer:
                 loss,
             )
 
-        return step
+        def step_core(state, x_all, y_all, noise_all, idx, drop_key):
+            """One batch update; gathers the batch AND its noise rows from
+            the device-resident epoch arrays by index (usable both as a
+            single dispatch and inside the chunked scan)."""
+            return update(state, x_all[idx], y_all[idx], noise_all[idx],
+                          drop_key)
+
+        self._update = update
+        self._step_core = step_core
+        return jax.jit(step_core, donate_argnums=0)
+
+    def chunk_step_fn(self, L: int):
+        """Scan ``L`` batch updates inside ONE jitted dispatch. The RNG key
+        rides the scan carry and is split per batch exactly as the host
+        loop splits it, so the dropout-key sequence (and hence the
+        trajectory) is identical to per-batch dispatch — the dispatch
+        marshaling cost (~2.6 s/call remote, docs/PERF.md) is paid once per
+        chunk instead of once per batch."""
+        fn = self._chunk_jits.get(L)
+        if fn is None:
+            update = self._update
+
+            @partial(jax.jit, donate_argnums=0)
+            def chunk_step(state, x_all, y_all, noise_all, idx_stack, key):
+                # ONE gather per epoch array for the whole chunk (round-4
+                # anchor finding: per-iteration gathers from the big
+                # device-resident fold dominate the wall); the scan then
+                # consumes static (B, ...) slices.
+                xb = x_all[idx_stack]
+                yb = y_all[idx_stack]
+                nb = noise_all[idx_stack]
+
+                def body(carry, xs):
+                    st, k = carry
+                    x, y, nz = xs
+                    k, dk = jax.random.split(k)
+                    st, loss = update(st, x, y, nz, dk)
+                    return (st, k), loss
+
+                (state, key), losses = jax.lax.scan(
+                    body, (state, key), (xb, yb, nb)
+                )
+                return state, key, losses
+
+            fn = chunk_step
+            self._chunk_jits[L] = fn
+        return fn
+
+    def _chunk_len(self, n_batches: int) -> int:
+        c = self.train_cfg.dispatch_chunk
+        return min(n_batches, c if c > 0 else 32)
 
     def _build_val_step(self):
         """Validation CCE over the whole val set, computed in fixed-size
@@ -128,7 +177,6 @@ class UResNetTrainer:
         model = self.model
         chunk = max(1, int(self.train_cfg.batch_size))
 
-        @jax.jit
         def val_step(state, x, noise, y):
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
@@ -157,7 +205,8 @@ class UResNetTrainer:
             n_elem = n * int(np.prod(y.shape[1:-1]))
             return jnp.sum(sums) / n_elem
 
-        return val_step
+        self._val_core = val_step
+        return jax.jit(val_step)
 
     # -- epoch loop ----------------------------------------------------------
 
@@ -212,17 +261,37 @@ class UResNetTrainer:
             epoch_noise = jax.random.normal(
                 nk, (x_train.shape[0], self.model_cfg.noise_size, 1)
             )
+            n_batches = idx_epoch.shape[0]
+            chunk_len = self._chunk_len(n_batches)
             losses = []
-            for b in range(idx_epoch.shape[0]):
-                idx = jnp.asarray(idx_epoch[b])
-                if self._data_parallel:
-                    idx = jax.device_put(idx, meshlib.batch_sharding(self.mesh, 1))
-                key, dk = jax.random.split(key)
-                state, loss = self._step(
-                    state, x_all, y_all, idx, epoch_noise[idx], dk
-                )
-                losses.append(loss)
-            train_loss = float(jnp.mean(jnp.stack(losses)))
+            if chunk_len == 1:
+                for b in range(n_batches):
+                    idx = jnp.asarray(idx_epoch[b])
+                    if self._data_parallel:
+                        idx = jax.device_put(
+                            idx, meshlib.batch_sharding(self.mesh, 1))
+                    key, dk = jax.random.split(key)
+                    state, loss = self._step(
+                        state, x_all, y_all, epoch_noise, idx, dk
+                    )
+                    losses.append(loss[None])
+            else:
+                # Full chunks + one remainder chunk (fixed sizes across
+                # epochs -> exactly two compiled programs). The epoch's
+                # losses are fetched in ONE transfer below.
+                b = 0
+                while b < n_batches:
+                    L = min(chunk_len, n_batches - b)
+                    idxs = jnp.asarray(idx_epoch[b : b + L])
+                    if self._data_parallel:
+                        idxs = jax.device_put(
+                            idxs, meshlib.index_sharding(self.mesh, 2))
+                    state, key, ls = self.chunk_step_fn(L)(
+                        state, x_all, y_all, epoch_noise, idxs, key
+                    )
+                    losses.append(ls)
+                    b += L
+            train_loss = float(jnp.mean(jnp.concatenate(losses)))
             val_loss = float(self._val_step(state, xv, fixed_noise, yv))
             state = state.replace(epoch=state.epoch + 1)
 

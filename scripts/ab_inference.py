@@ -1,11 +1,18 @@
-"""A/B the round-3 kernel changes on the real chip, one process.
+"""A/B the current round's inference-kernel knobs on the real chip.
 
-Round 3 changed three things in the inference path at once (interleaved
-staging, ring-only zeroing, fused tanh head) and the first bench after
-showed 2572 vs round 2's 2780 slices/s. This measures the staging schedule
-and head fusion independently — same scan-with-dependency-chain
-methodology as bench.py (docs/PERF.md remote-backend rules) — so the
-winner is chosen on numbers, not intuition.
+Round-4 matrix (the round-3 questions — staging schedule, aligned
+staging, head fusion — are settled and their measured losers documented
+in docs/PERF.md): the relayout-fusion levers from the roofline's biggest
+measured-vs-floor gaps (VERDICT r3 item 3):
+
+  fuse_pool  — encoder pools emitted from the conv kernels' epilogues
+               (conv3x3_s2d_fused_pool) instead of separate relayout
+               kernels re-reading HBM;
+  head_bf16  — 1x1 head conv on the bf16 plane (f32 accum) instead of
+               casting the 128-ch plane to f32 first.
+
+Same scan-with-dependency-chain methodology as bench.py (docs/PERF.md
+remote-backend rules) — winners are chosen on numbers, not intuition.
 
 Run (real TPU): python scripts/ab_inference.py
 """
@@ -29,16 +36,16 @@ N_SCAN = 32
 BATCH = 256
 
 
-def measure(variables, interleaved: bool, fuse_head: bool,
-            aligned: bool = True, strip: int = 16) -> float:
-    csp.INTERLEAVED_STAGING = interleaved
-    csp.ALIGNED_STAGING = aligned
+def measure(variables, fuse_pool: bool = False, head_bf16: bool = False,
+            fuse_head: bool = False, strip: int = 16) -> float:
     cfg = ModelConfig(
         image_size=256, first_fm=32, n_input_channels=1,
         compute_dtype="bfloat16",
     )
     fast = FastGenerator(cfg, variables, s2d_levels=(), pallas_levels=(1, 2))
     fast.fuse_head = fuse_head
+    fast.fuse_pool = fuse_pool
+    fast.head_bf16 = head_bf16
     fast.strip = strip
 
     @jax.jit
@@ -67,45 +74,18 @@ def main():
         image_size=256, first_fm=32, n_input_channels=1,
         compute_dtype="bfloat16",
     )
-    # Module flags are mutated per measurement; restore the settled
-    # defaults on exit so later phases in the same process (onchip_session
-    # runs roofline after this) see the production configuration.
-    defaults = (csp.INTERLEAVED_STAGING, csp.ALIGNED_STAGING)
     _, variables = init_generator(cfg, jax.random.key(0))
-    global BATCH
-    prev_batch = BATCH
-    # try/finally: onchip_session runs roofline/anatomy AFTER this phase in
-    # the same process and its runner swallows exceptions — a failed
-    # measure() (e.g. a Mosaic rejection of an experimental codegen) must
-    # not leave the module flags on a non-default configuration.
-    try:
-        # Round-3 settled knobs: interleaved staging on, head fusion off.
-        # Current A/B: lane-aligned staging (weight row-block reversal) vs
-        # the classic lane-rotating staged-u2s, under both schedules.
-        for aligned in (False, True):
-            for interleaved in (False, True):
-                v = measure(variables, interleaved, False, aligned=aligned)
-                print(
-                    f"aligned={int(aligned)} interleaved={int(interleaved)}"
-                    f" -> {v:8.1f} slices/s",
-                    flush=True,
-                )
-        # strip sweep under the aligned+interleaved config (the round-2
-        # optimum was 16 with rotating staging; aligned may shift it).
-        for strip in (8, 32):
-            v = measure(variables, True, False, aligned=True, strip=strip)
-            print(f"aligned=1 interleaved=1 strip={strip} -> {v:8.1f} "
-                  f"slices/s", flush=True)
-        # batch sweep: 256 was the round-2 optimum; check the amortisation
-        # curve hasn't moved past it.
-        for batch in (512,):
-            BATCH = batch
-            v = measure(variables, True, False, aligned=True)
-            print(f"aligned=1 interleaved=1 batch={batch} -> {v:8.1f} "
-                  f"slices/s", flush=True)
-    finally:
-        BATCH = prev_batch
-        csp.INTERLEAVED_STAGING, csp.ALIGNED_STAGING = defaults
+    for fuse_pool in (False, True):
+        for head_bf16 in (False, True):
+            try:
+                v = measure(variables, fuse_pool=fuse_pool,
+                            head_bf16=head_bf16)
+                print(f"fuse_pool={int(fuse_pool)} head_bf16={int(head_bf16)}"
+                      f" -> {v:8.1f} slices/s", flush=True)
+            except Exception as e:
+                print(f"fuse_pool={int(fuse_pool)} head_bf16={int(head_bf16)}"
+                      f" FAILED {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:120]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -7,10 +7,12 @@ ONE process. onchip_validate gates the rest: if any kernel fails its
 XLA-twin check, the profiles are meaningless and are skipped.
 
 Run (real TPU): python scripts/onchip_session.py [phases]
-  phases: comma list of {validate,micro,critic,superstep,ab,roofline,
-  anatomy}; default all of those. Two more are opt-in only (request them
-  explicitly): anchor (scripts/fold_anchor.py, the measured training-wall
-  anchor) and bench (the BENCH headline inference number).
+  phases: comma list of {validate,micro,critic,critic_roofline,superstep,
+  ab,roofline,anatomy}; default all of those. Opt-in-only extras (request
+  explicitly): packed_tap (the pixel-domain boundary-op probe), anchor
+  (scripts/fold_anchor.py, the measured GAN training-wall anchor),
+  uresnet_anchor (the supervised epoch wall) and bench (the BENCH
+  headline inference number).
 """
 from __future__ import annotations
 
@@ -20,8 +22,8 @@ import traceback
 
 sys.path.insert(0, ".")
 
-PHASES = ("validate", "micro", "critic", "superstep", "ab", "roofline",
-          "anatomy")
+PHASES = ("validate", "micro", "critic", "critic_roofline", "superstep",
+          "ab", "roofline", "anatomy")
 # Extra phases not in the default sweep (request explicitly):
 #   anchor — scripts/fold_anchor.py, the measured 4-fold wall-clock anchor;
 #   bench  — the BENCH headline (depgan_tpu.benchmarks.gen_inference_bench).
@@ -62,6 +64,10 @@ def main():
         import critic_profile
 
         run_phase("critic_profile", critic_profile.main)
+    if "critic_roofline" in want:
+        import critic_roofline
+
+        run_phase("critic_roofline", critic_roofline.main)
     if "superstep" in want:
         import superstep_profile
 
@@ -78,10 +84,18 @@ def main():
         import kernel_anatomy
 
         run_phase("kernel_anatomy", kernel_anatomy.main)
+    if "packed_tap" in want:
+        import packed_tap_probe
+
+        run_phase("packed_tap", packed_tap_probe.main)
     if "anchor" in want:
         import fold_anchor
 
         run_phase("anchor", fold_anchor.main)
+    if "uresnet_anchor" in want:
+        import uresnet_anchor
+
+        run_phase("uresnet_anchor", uresnet_anchor.main)
     if "bench" in want:
         import json
 

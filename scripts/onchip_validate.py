@@ -143,6 +143,40 @@ def check_conv3_fused2(n, c_up, c_skip, cout, strip, b=4, tol=0.08, seed=5):
            jax.jit(fused)(x1, x2), jax.jit(ref)(x1, x2), tol)
 
 
+def check_conv3_pool(n, cin, cout, strip, pool, b=4, tol=0.0, seed=21):
+    """conv3x3_s2d_fused_pool vs conv3x3_s2d_fused + the separate pool
+    kernel — the fused epilogue pools the SAME stored values, so the match
+    must be exact (tol 0)."""
+    from depgan_tpu.ops.conv_s2d_pallas import conv3x3_s2d_fused_pool
+
+    x = jax.random.normal(jax.random.key(seed), (b, 2 * n, 2 * n, cin),
+                          jnp.float32)
+    w = jax.random.normal(jax.random.key(seed + 1), (3, 3, cin, cout),
+                          jnp.float32) * 0.05
+    bias = jax.random.normal(jax.random.key(seed + 2), (cout,),
+                             jnp.float32) * 0.1
+    w4, b4 = S.conv3x3_to_s2d_kernel_j(w, bias)
+
+    def sep(x):
+        xp = pad_s2d(S.s2d_unshifted(x.astype(DT)))
+        yp = conv3x3_s2d_fused(xp, w4, b4, mode="relu", strip=strip)
+        pooled = (pool_to_s2d_pallas(yp) if pool == "s2d"
+                  else pool_s2d_pallas(yp))
+        return yp, pooled
+
+    def fused(x):
+        xp = pad_s2d(S.s2d_unshifted(x.astype(DT)))
+        return conv3x3_s2d_fused_pool(xp, w4, b4, mode="relu", strip=strip,
+                                      pool=pool)
+
+    want_y, want_p = jax.jit(sep)(x)
+    got_y, got_p = jax.jit(fused)(x)
+    _check(f"conv3+pool[{pool}] n={n} c={cin}->{cout} (conv out)",
+           got_y, want_y, tol)
+    _check(f"conv3+pool[{pool}] n={n} c={cin}->{cout} (pooled)",
+           got_p, want_p, tol)
+
+
 def check_conv5(n, cin, cout, strip, b=4, tol=0.15, seed=7):
     x = jax.random.normal(jax.random.key(seed), (b, 2 * n, 2 * n, cin),
                           jnp.float32)
@@ -576,6 +610,12 @@ def main():
         check_conv5(64, 16, 32, 16, seed=40 + tag_seed)
         check_conv5(64, 32, 32, 16, seed=41 + tag_seed)
     csp.CONV5_PACKED = default_packed
+    # conv+pool fusion (round 4): the conv emits its own pool from VMEM.
+    # Production sites: gen_1 (n=128, 32ch, pool->s2d) and gen_3 (n=64,
+    # 64ch, pool->pixel); must bit-match conv followed by the pool kernel.
+    check_conv3_pool(128, 32, 32, 16, pool="s2d")
+    check_conv3_pool(64, 64, 64, 16, pool="pixel")
+    check_conv3_pool(64, 32, 64, 16, pool="s2d", seed=22)
     # relayouts
     check_pools(128, 32)
     check_pools(64, 64)

