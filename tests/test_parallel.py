@@ -167,7 +167,7 @@ class TestDataParallelTraining:
         t1 = UResNetTrainer(model_cfg, cfg, mesh=None)
         st1 = t1.init_state(jax.random.key(0))
         st1, l1 = t1._step(st1, jnp.asarray(x), jnp.asarray(y),
-                           jnp.asarray(idx), jnp.asarray(noise),
+                           jnp.asarray(noise), jnp.asarray(idx),
                            jax.random.key(1))
 
         mesh = meshlib.make_mesh(n_data=8)
@@ -177,7 +177,8 @@ class TestDataParallelTraining:
         idx_s = jax.device_put(jnp.asarray(idx), meshlib.batch_sharding(mesh, 1))
         st8, l8 = t8._step(st8, meshlib.put_replicated(jnp.asarray(x), mesh),
                            meshlib.put_replicated(jnp.asarray(y), mesh),
-                           idx_s, jnp.asarray(noise), jax.random.key(1))
+                           meshlib.put_replicated(jnp.asarray(noise), mesh),
+                           idx_s, jax.random.key(1))
         np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
         # Adam's first step is ~lr*sign(g); near-zero gradients flip sign
         # under different (sharded) reduction orders, so the tightest sound
