@@ -63,6 +63,21 @@ def _deconv_matmul(x, kernel, bias):
     return y  # (B, h, w, 4O) == unshifted s2d of the (2h, 2w, O) output
 
 
+def _ablate_stub_channels(x, co4: int):
+    """Shape-preserving stub for an ablated channel-changing conv: tile or
+    slice the channel dim to co4. Costs ~the output's HBM write — the
+    ablation delta therefore UNDERestimates the stage by that floor
+    (reported by scripts/ablation_forward.py alongside each delta)."""
+    c4 = x.shape[-1]
+    if co4 == c4:
+        return x
+    if co4 % c4 == 0:
+        return jnp.tile(x, (1, 1, 1, co4 // c4))
+    if c4 % co4 == 0:
+        return x[..., :co4]
+    raise ValueError(f"stub cannot map c4={c4} -> co4={co4}")
+
+
 def generator_pallas_supported(cfg: ModelConfig) -> bool:
     """Whether the generator's fused Pallas kernels compile for this config
     on real TPU. Mosaic rejects small shapes ('infer-vector-layout:
@@ -113,9 +128,11 @@ class FusedGenerator:
         # (conv3x3_s2d_fused_pool): the separate pool_to_s2d/pool_s2d
         # kernels re-read from HBM a plane the conv just had in VMEM
         # (pool_to_s2d measured ~5x its HBM floor, docs/PERF.md round-3
-        # roofline). INFERENCE-ONLY (no VJP). Default from the
-        # DEPGAN_FUSE_POOL env knob (ab_inference A/B), off until on-chip
-        # validated + measured faster (CLAUDE.md kernel gate).
+        # roofline). INFERENCE-ONLY (no VJP): off here (FusedGenerator is
+        # the differentiable training path); FastGenerator flips it on —
+        # on-chip validated at tol 0 and measured +0.5% (2848 vs 2834
+        # slices/s, round-4 ab_inference). DEPGAN_FUSE_POOL=0/1 overrides
+        # both for A/B.
         import os as _os
 
         self.fuse_pool = _os.environ.get("DEPGAN_FUSE_POOL") == "1"
@@ -128,6 +145,13 @@ class FusedGenerator:
         # class as the validated fuse_head kernel). A/B knob, off by
         # default until measured faster AND within eval tolerance on chip.
         self.head_bf16 = _os.environ.get("DEPGAN_HEAD_BF16") == "1"
+        # Ablation tags (scripts/ablation_forward.py): trace-time-only knob —
+        # components named here are replaced by identity/cheap stubs so the
+        # REAL in-graph cost of each stage can be measured by differencing
+        # end-to-end forwards (isolated per-stage measurements proved
+        # non-additive: docs/PERF.md round 4). Empty in production; checks
+        # cost nothing under jit (Python trace time only).
+        self.ablate: frozenset = frozenset()
         self.dtype = compute_dtype
         # Row-strip size of the fused conv kernels (perf knob; kernels halve
         # it until it divides the level's block count). 16 measured ~2%
@@ -302,21 +326,30 @@ class FusedGenerator:
 
         dt = self.dtype
         gamma, beta = mods[site]
-        h0 = conv3x3_s2d_fused(
-            x_padded, W[f"{cin_name}/kernel"].astype(dt), W[f"{cin_name}/bias"],
-            mode="relu", strip=self.strip,
-        )
-        site_out = conv3x3_s2d_fused(
-            h0, W[f"noise_{site}/kernel"].astype(dt), W[f"noise_{site}/bias"],
-            S.tile_channel_params(gamma), S.tile_channel_params(beta),
-            mode="film", strip=self.strip,
-        )
+        if f"conv_in:{site}" in self.ablate:
+            co4 = W[f"{cin_name}/kernel"].shape[-1]
+            h0 = _ablate_stub_channels(x_padded, co4)
+        else:
+            h0 = conv3x3_s2d_fused(
+                x_padded, W[f"{cin_name}/kernel"].astype(dt), W[f"{cin_name}/bias"],
+                mode="relu", strip=self.strip,
+            )
+        if f"film:{site}" in self.ablate:
+            site_out = h0  # film conv keeps channels: exact identity ablation
+        else:
+            site_out = conv3x3_s2d_fused(
+                h0, W[f"noise_{site}/kernel"].astype(dt), W[f"noise_{site}/bias"],
+                S.tile_channel_params(gamma), S.tile_channel_params(beta),
+                mode="film", strip=self.strip,
+            )
         if pool:
             return conv3x3_s2d_fused_pool(
                 site_out, W[f"{cout_name}/kernel"].astype(dt),
                 W[f"{cout_name}/bias"], mode="relu", strip=self.strip,
                 pool=pool,
             )
+        if f"conv_out:{site}" in self.ablate:
+            return site_out  # encoder conv_out keeps channels
         h1 = conv3x3_s2d_fused(
             site_out, W[f"{cout_name}/kernel"].astype(dt), W[f"{cout_name}/bias"],
             mode="relu", strip=self.strip,
@@ -338,17 +371,24 @@ class FusedGenerator:
 
         dt = self.dtype
         gamma, beta = mods[site]
-        h0 = conv3x3_s2d_fused2(
-            up, skip,
-            W[f"{cin_name}/kernel_up"].astype(dt),
-            W[f"{cin_name}/kernel_skip"].astype(dt),
-            W[f"{cin_name}/bias"], strip=self.strip,
-        )
-        site_out = conv3x3_s2d_fused(
-            h0, W[f"noise_{site}/kernel"].astype(dt), W[f"noise_{site}/bias"],
-            S.tile_channel_params(gamma), S.tile_channel_params(beta),
-            mode="film", strip=self.strip,
-        )
+        if f"fused2:{site}" in self.ablate:
+            co4 = W[f"{cin_name}/kernel_up"].shape[-1]
+            h0 = _ablate_stub_channels(up, co4)
+        else:
+            h0 = conv3x3_s2d_fused2(
+                up, skip,
+                W[f"{cin_name}/kernel_up"].astype(dt),
+                W[f"{cin_name}/kernel_skip"].astype(dt),
+                W[f"{cin_name}/bias"], strip=self.strip,
+            )
+        if f"film:{site}" in self.ablate:
+            site_out = h0
+        else:
+            site_out = conv3x3_s2d_fused(
+                h0, W[f"noise_{site}/kernel"].astype(dt), W[f"noise_{site}/bias"],
+                S.tile_channel_params(gamma), S.tile_channel_params(beta),
+                mode="film", strip=self.strip,
+            )
         if head:
             return conv3x3_s2d_fused_head(
                 site_out,
@@ -356,6 +396,8 @@ class FusedGenerator:
                 W["gen_segmentation/kernel"], W["gen_segmentation/bias"],
                 strip=self.strip,
             )
+        if f"conv_out:{site}" in self.ablate:
+            return site_out  # decoder conv_out keeps channels
         h1 = conv3x3_s2d_fused(
             site_out, W[f"{cout_name}/kernel"].astype(dt), W[f"{cout_name}/bias"],
             mode="relu", strip=self.strip,
@@ -428,7 +470,14 @@ class FusedGenerator:
                     continue
                 h1 = self._block_pallas(W, x_in, site, cin, cout, mods)
                 skips[level] = (h1, "padded")
-                if next_pallas:
+                if f"pool:{site}" in self.ablate:
+                    n = h1.shape[1] - 2
+                    if next_pallas:  # pooled padded s2d: n/2+2 spatial, same c4
+                        h, h_layout = h1[:, : n // 2 + 2, : n // 2 + 2, :], "padded"
+                    else:  # pixel-domain pool: n x n spatial, c = c4 // 4
+                        h = h1[:, 1 : n + 1, 1 : n + 1, : h1.shape[-1] // 4]
+                        h_layout = "pixel"
+                elif next_pallas:
                     # Pool straight into the next level's padded s2d layout.
                     h, h_layout = pool_to_s2d_pallas(h1), "padded"
                 else:
@@ -472,7 +521,18 @@ class FusedGenerator:
             k = W[f"{deconv}/kernel"].astype(dt)
             b = W[f"{deconv}/bias"].astype(dt)
             if level in self.pallas_levels and self.pallas_decoder:
-                if h_layout == "padded":
+                if f"deconv:{site}" in self.ablate:
+                    # Stub: emit a correctly-shaped padded-s2d plane from a
+                    # cheap slice+tile of h (cost ~ the up plane's HBM write).
+                    n2 = h.shape[1] - 2
+                    up4 = k.shape[2] * 4  # deconv out channels, s2d c4
+                    up = _ablate_stub_channels(
+                        jnp.zeros(
+                            (h.shape[0], 2 * n2 + 2, 2 * n2 + 2, 1), h.dtype
+                        ),
+                        up4,
+                    )
+                elif h_layout == "padded":
                     # Previous Pallas decoder level: deconv + relu straight
                     # from (and back to) padded s2d in one kernel.
                     cin_ch = k.shape[3]
@@ -512,6 +572,14 @@ class FusedGenerator:
 
         # head — h is padded-s2d only when the level-1 decoder ran on the
         # pallas path; pixel otherwise.
+        if "head" in self.ablate:
+            # Cheap stub: channel mean + tanh at the head's output shape
+            # (reads the plane once; no f32 cast pass, no 1x1 conv).
+            hm = jnp.mean(h, axis=-1, keepdims=True).astype(jnp.float32)
+            if 1 in self.pallas_levels and self.pallas_decoder:
+                hm = hm[:, 1:-1, 1:-1, :]
+                hm = S.d2s(jnp.tile(hm, (1, 1, 1, 4)))  # 1-ch s2d stand-in
+            return jnp.tanh(hm[..., : max(self.cfg.n_out, 1)])
         head_s2d_padded = 1 in self.pallas_levels and self.pallas_decoder
         head_s2d = 1 in self.s2d_levels
         if head_s2d_padded or head_s2d:
@@ -562,6 +630,14 @@ class FastGenerator(FusedGenerator):
         # store pays a 32x lane-padding tax, while the XLA head conv over
         # the dense d2s output fuses with its neighbours for free. The
         # kernel is kept (on-chip validated) as an A/B knob.
+        # Inference default: fused encoder pools (no VJP needed here).
+        # Measured winner on chip (round-4 ab_inference: 2848 vs 2834
+        # slices/s) and on-chip validated at tol 0; DEPGAN_FUSE_POOL=0
+        # restores the separate relayout kernels for A/B.
+        import os as _os
+
+        if "DEPGAN_FUSE_POOL" not in _os.environ:
+            self.fuse_pool = True
         host_vars = jax.tree.map(np.asarray, variables)
         self.weights = jax.tree.map(jnp.asarray, self.build_weights(host_vars))
         self._jit_forward = jax.jit(self.forward)

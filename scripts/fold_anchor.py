@@ -85,6 +85,17 @@ def main():
     rng = np.random.default_rng(0)
     x = rng.uniform(0, 1, (N_SLICES, IMG, IMG, 1)).astype(np.float32)
     y = rng.uniform(0, 1, (N_SLICES, IMG, IMG, 1)).astype(np.float32)
+    # Device-put ONCE: fit_fold's jnp.asarray is then a no-op, matching the
+    # production call pattern (one fit_fold call for all 200 epochs = one
+    # upload). Per-epoch host->device re-transfer of the 2.5 GB fold through
+    # the tunnel costs ~116 s/epoch and inflated the round-4 first anchor to
+    # 2.51 s/superstep vs the true 575 ms (wall_gap_probe agreement).
+    t_up = time.time()
+    x = jax.device_put(jnp.asarray(x))
+    y = jax.device_put(jnp.asarray(y))
+    float(jnp.sum(x[0]) + jnp.sum(y[0]))  # force the transfer (PERF.md rules)
+    print(f"fold upload (2x{x.nbytes / 1e9:.2f} GB): {time.time() - t_up:.1f}s",
+          flush=True)
     xv, yv = x[:64], y[:64]
 
     def fetch(state):

@@ -9,8 +9,9 @@ XLA-twin check, the profiles are meaningless and are skipped.
 Run (real TPU): python scripts/onchip_session.py [phases]
   phases: comma list of {validate,micro,critic,critic_roofline,superstep,
   ab,roofline,anatomy}; default all of those. Opt-in-only extras (request
-  explicitly): packed_tap (the pixel-domain boundary-op probe), anchor
-  (scripts/fold_anchor.py, the measured GAN training-wall anchor),
+  explicitly): packed_tap (the pixel-domain boundary-op probe), ablation
+  (TRUE in-graph per-stage forward costs by end-to-end differencing),
+  anchor (scripts/fold_anchor.py, the measured GAN training-wall anchor),
   uresnet_anchor (the supervised epoch wall) and bench (the BENCH
   headline inference number).
 """
@@ -88,6 +89,10 @@ def main():
         import packed_tap_probe
 
         run_phase("packed_tap", packed_tap_probe.main)
+    if "ablation" in want:
+        import ablation_forward
+
+        run_phase("ablation", ablation_forward.main)
     if "anchor" in want:
         import fold_anchor
 

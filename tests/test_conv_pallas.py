@@ -94,11 +94,14 @@ def test_fused_pool_end_to_end_forward(rng, monkeypatch):
     x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 1)).astype(np.float32))
     z = jnp.asarray(rng.normal(size=(2, 32, 1)).astype(np.float32))
 
+    monkeypatch.setenv("DEPGAN_FUSE_POOL", "0")
     fg = FastGenerator(cfg, variables, pallas_levels=(1, 2))
     assert not fg.fuse_pool
     base = np.asarray(fg(x, z))
 
-    monkeypatch.setenv("DEPGAN_FUSE_POOL", "1")
+    # Round-4 default: FastGenerator fuses the pools (measured +0.5% on
+    # chip, validated tol 0); the env knob still provides the baseline.
+    monkeypatch.delenv("DEPGAN_FUSE_POOL")
     fg2 = FastGenerator(cfg, variables, pallas_levels=(1, 2))
     assert fg2.fuse_pool
     np.testing.assert_array_equal(np.asarray(fg2(x, z)), base)
