@@ -73,9 +73,10 @@ def _ablate_stub_channels(x, co4: int):
         return x
     if co4 % c4 == 0:
         return jnp.tile(x, (1, 1, 1, co4 // c4))
-    if c4 % co4 == 0:
+    if co4 < c4:
         return x[..., :co4]
-    raise ValueError(f"stub cannot map c4={c4} -> co4={co4}")
+    reps = -(-co4 // c4)  # ceil — general tile+slice (e.g. 384 -> 256 fused2)
+    return jnp.tile(x, (1, 1, 1, reps))[..., :co4]
 
 
 def generator_pallas_supported(cfg: ModelConfig) -> bool:
@@ -522,15 +523,18 @@ class FusedGenerator:
             b = W[f"{deconv}/bias"].astype(dt)
             if level in self.pallas_levels and self.pallas_decoder:
                 if f"deconv:{site}" in self.ablate:
-                    # Stub: emit a correctly-shaped padded-s2d plane from a
-                    # cheap slice+tile of h (cost ~ the up plane's HBM write).
+                    # Stub: emit a correctly-shaped padded-s2d plane whose
+                    # cost is ~its HBM write. It MUST depend on h — a
+                    # constant stub lets XLA dead-code-eliminate everything
+                    # upstream that only feeds the deconv (the entire mid
+                    # network), which inflated the round-4 ablation's
+                    # deconv delta to +50 ms.
                     n2 = h.shape[1] - 2
                     up4 = k.shape[2] * 4  # deconv out channels, s2d c4
-                    up = _ablate_stub_channels(
-                        jnp.zeros(
-                            (h.shape[0], 2 * n2 + 2, 2 * n2 + 2, 1), h.dtype
-                        ),
-                        up4,
+                    hm = jnp.mean(h, axis=(1, 2, 3), keepdims=True)
+                    up = jnp.broadcast_to(
+                        hm.astype(h.dtype),
+                        (h.shape[0], 2 * n2 + 2, 2 * n2 + 2, up4),
                     )
                 elif h_layout == "padded":
                     # Previous Pallas decoder level: deconv + relu straight

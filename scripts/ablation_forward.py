@@ -14,6 +14,14 @@ as `stub_floor` — the true stage cost is delta + stub_floor at most).
 Components (FusedGenerator.ablate tags): conv_in/film/conv_out per site,
 fused2 + deconv per decoder site, pool per encoder site, head.
 
+Caveats (first round-4 run): every stub must DEPEND on its input — the
+original deconv stub was constant zeros, so XLA dead-code-eliminated the
+whole mid network and the 'deconv:p1' delta read +50 ms (fixed: the stub
+broadcasts mean(h)). Channel-preserving rows (conv_in:m1/m2) ablate to an
+identity and measured slightly NEGATIVE deltas (-0.6/-2.7 ms) — removing
+a kernel can shift downstream fusion/layout; read those rows as "composed
+cost below noise", not as a negative cost.
+
 Run (real TPU): python scripts/ablation_forward.py [batch] [n_scan]
 """
 from __future__ import annotations
