@@ -83,6 +83,35 @@ if "DEPGAN_INTERLEAVED_STAGING" in _os.environ:
 if "DEPGAN_CONV5_PACKED" in _os.environ:
     CONV5_PACKED = _os.environ["DEPGAN_CONV5_PACKED"] == "1"
 
+# Streaming output stores (round 4): kernel_anatomy measured that the conv
+# kernels pay HBM + MXU *serially* — the full-kernel marginal exceeds the
+# matmul phase by almost exactly the output-plane store time (1.145 vs
+# 0.823 ms at the production L1 shape), because whole-plane in/out blocks
+# leave Mosaic's automatic pipeliner no room to double-buffer. With
+# STREAM_OUT the conv output lives in ANY (HBM) and each strip's result is
+# DMA'd out of a 2-slot VMEM scratch (pltpu.make_async_copy) while the
+# next strip's matmuls run on the MXU; the zero ring rides two small DMAs
+# of a constant zero-row buffer. WAR safety: a slot is rewritten only
+# after an explicit semaphore wait on its previous DMA — the ordering is
+# explicit, not inferred (the round-2 Mosaic hazard was implicit vector
+# dependence tracking). Same on-chip gate as every kernel change:
+# scripts/onchip_validate.py on the real chip before this defaults on.
+#
+# LAYOUT: Mosaic requires DMA slices of a tiled HBM memref to be
+# (8, 128)-tile-aligned on the last two dims — a whole-row slice of a
+# (N+2)-column plane (130/66/34, always ≡ 2 mod 8) is REJECTED at compile
+# time ("Slice shape along dimension 2 must be aligned to tiling (8)",
+# measured on chip this round). Streamed outputs therefore carry their
+# column dim padded up to a multiple of 8: (B, N+2, colP, 4Co) with
+# colP = _stream_cols(N+2) (136/72/40); the pad columns are constant
+# zeros (written once into the staging ring). Every kernel wrapper
+# derives N from the ROW dim and reads only cols [0, N+2) — explicit
+# bounds everywhere — so col-padded and exact planes mix freely; the
+# custom VJPs crop dX back to each input's own column width.
+STREAM_OUT = False
+if "DEPGAN_STREAM_OUT" in _os.environ:
+    STREAM_OUT = _os.environ["DEPGAN_STREAM_OUT"] == "1"
+
 
 def _norm_strip(n: int, strip: int) -> int:
     """Largest power-of-two <= ``strip`` that divides the interior row count
@@ -102,6 +131,13 @@ def _norm_strip(n: int, strip: int) -> int:
 def pad_s2d(y: jnp.ndarray) -> jnp.ndarray:
     """Unshifted s2d (B, N, N, 4C) -> padded layout (B, N+2, N+2, 4C)."""
     return jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+def _stream_cols(p_dim: int) -> int:
+    """Column width of a STREAM_OUT output plane: N+2 rounded up to the
+    (8, 128) sublane tile so every strip DMA slice is tile-aligned (see
+    the STREAM_OUT comment — Mosaic rejects misaligned HBM slices)."""
+    return -(-p_dim // 8) * 8
 
 
 def _zero_ring_ref(o_ref, n: int):
@@ -140,21 +176,22 @@ def _pool_kernel(x_ref, o_ref, *, n: int, c: int):
 
 def _pool_ref(x_padded: jnp.ndarray) -> jnp.ndarray:
     """XLA twin of the pool kernel (used for its VJP)."""
-    interior = x_padded[:, 1:-1, 1:-1, :]
-    b, n, _, c4 = interior.shape
+    b, p_dim, _, c4 = x_padded.shape
+    n = p_dim - 2  # interior bounds from ROWS (input may be col-padded)
+    interior = x_padded[:, 1 : n + 1, 1 : n + 1, :]
     c = c4 // 4
     return jnp.max(interior.reshape(b, n, n, 4, c), axis=3)
 
 
 @jax.custom_vjp
 def pool_s2d_pallas(x_padded: jnp.ndarray) -> jnp.ndarray:
-    b, p_dim, _, c4 = x_padded.shape
+    b, p_dim, in_cols, c4 = x_padded.shape
     n, c = p_dim - 2, c4 // 4
     return pl.pallas_call(
         partial(_pool_kernel, n=n, c=c),
         out_shape=jax.ShapeDtypeStruct((b, n, n, c), x_padded.dtype),
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, p_dim, p_dim, c4), lambda i: (i, 0, 0, 0),
+        in_specs=[pl.BlockSpec((1, p_dim, in_cols, c4), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, n, n, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -233,14 +270,14 @@ def _pool_to_s2d_kernel(x_ref, o_ref, *, n: int, c: int):
 
 @jax.custom_vjp
 def pool_to_s2d_pallas(x_padded: jnp.ndarray) -> jnp.ndarray:
-    b, p_dim, _, c4 = x_padded.shape
+    b, p_dim, in_cols, c4 = x_padded.shape
     n, c = p_dim - 2, c4 // 4
     n2 = n // 2
     return pl.pallas_call(
         partial(_pool_to_s2d_kernel, n=n, c=c),
         out_shape=jax.ShapeDtypeStruct((b, n2 + 2, n2 + 2, c4), x_padded.dtype),
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, p_dim, p_dim, c4), lambda i: (i, 0, 0, 0),
+        in_specs=[pl.BlockSpec((1, p_dim, in_cols, c4), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, n2 + 2, n2 + 2, c4), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -270,10 +307,15 @@ pool_to_s2d_pallas.defvjp(_pool_to_s2d_fwd, _pool_to_s2d_bwd)
 
 
 def unpad_s2d(y: jnp.ndarray) -> jnp.ndarray:
-    return y[:, 1:-1, 1:-1, :]
+    """Padded s2d -> unshifted s2d interior. Interior bounds come from the
+    ROW dim: STREAM_OUT planes carry zero pad columns beyond N+2 (see
+    _stream_cols), which must be dropped along with the ring."""
+    n = y.shape[1] - 2
+    return y[:, 1 : n + 1, 1 : n + 1, :]
 
 
-def _deconv_kernel(x_ref, w_ref, b_ref, o_ref, *, m: int, c: int, o_ch: int):
+def _deconv_kernel(x_ref, w_ref, b_ref, o_ref, *, m: int, c: int, o_ch: int,
+                   strip: int = 0, stream=None):
     """Decoder upsample: padded s2d level-(L+1) decoder output
     (1, M+2, M+2, 4C) -> Deconv2x2 (per-pixel matmul, kernel (C, 4O)) + ReLU
     -> interleaved into the level-L padded s2d layout (1, N+2, N+2, 4O),
@@ -285,24 +327,44 @@ def _deconv_kernel(x_ref, w_ref, b_ref, o_ref, *, m: int, c: int, o_ch: int):
     Level-L block (2i+p, 2j+q) is input pixel (i, j) of sub-pixel group
     (p, q) pushed through the matmul — the nested-s2d identity. The (p, q)
     interleave uses stack + contiguous reshape (Mosaic rejects strided
-    stores)."""
+    stores).
+
+    stream=(zrow_ref, o_stage, sems, zsem) (STREAM_OUT): the output (this
+    is the decoder's BIGGEST plane store, measured ~3x its HBM floor in
+    the round-3 roofline) goes to ANY/HBM via the _StreamOut ring; the
+    matmul+interleave then runs per INPUT strip of ``strip`` rows (2*strip
+    output rows per DMA) so the stores overlap the next strip's matmuls.
+    The non-streamed path keeps the measured whole-plane codegen
+    unchanged."""
     n = 2 * m
     x = x_ref[0]
-    _zero_ring_ref(o_ref, n)
     bias = b_ref[0]  # (4O,) — per-channel bias tiled over output sub-pixels
     w = w_ref[...]   # (C, 4O), columns (sub-pixel group, channel)-major
-    interior = x[1 : m + 1, 1 : m + 1, :]
-    ys = []
-    for g in range(4):
-        xg = interior[:, :, g * c : (g + 1) * c].reshape(m * m, c)
-        yg = jnp.dot(xg, w, preferred_element_type=jnp.float32) + bias[None, :]
-        yg = jnp.maximum(yg, 0.0).astype(o_ref.dtype).reshape(m, m, 4 * o_ch)
-        ys.append(yg)
-    # cols: a_p[i, 2j+q] = Y_(p,q)[i, j]; rows: up[2i+p] = a_p[i]
-    a0 = jnp.stack([ys[0], ys[1]], axis=2).reshape(m, n, 4 * o_ch)
-    a1 = jnp.stack([ys[2], ys[3]], axis=2).reshape(m, n, 4 * o_ch)
-    up = jnp.stack([a0, a1], axis=1).reshape(n, n, 4 * o_ch)
-    o_ref[0, 1 : n + 1, 1 : n + 1, :] = up
+    o4 = 4 * o_ch
+
+    def up_rows(i0: int, rows: int):
+        """relu(deconv) of input interior rows [i0, i0+rows) interleaved
+        into the (2*rows, n, 4O) output-row block."""
+        interior = x[1 + i0 : 1 + i0 + rows, 1 : m + 1, :]
+        ys = []
+        for g in range(4):
+            xg = interior[:, :, g * c : (g + 1) * c].reshape(rows * m, c)
+            yg = jnp.dot(xg, w, preferred_element_type=jnp.float32)
+            yg = jnp.maximum(yg + bias[None, :], 0.0)
+            ys.append(yg.astype(o_ref.dtype).reshape(rows, m, o4))
+        # cols: a_p[i, 2j+q] = Y_(p,q)[i, j]; rows: up[2i+p] = a_p[i]
+        a0 = jnp.stack([ys[0], ys[1]], axis=2).reshape(rows, n, o4)
+        a1 = jnp.stack([ys[2], ys[3]], axis=2).reshape(rows, n, o4)
+        return jnp.stack([a0, a1], axis=1).reshape(2 * rows, n, o4)
+
+    if stream is None:
+        _zero_ring_ref(o_ref, n)
+        o_ref[0, 1 : n + 1, 1 : n + 1, :] = up_rows(0, m)
+        return
+    stream = _StreamOut(o_ref, *stream, n=n, strip=2 * strip, co4=o4)
+    for s_i in range(m // strip):
+        stream.store(s_i, up_rows(s_i * strip, strip))
+    stream.drain()
 
 
 def _deconv_ref(x_padded, w2, bias4):
@@ -324,39 +386,66 @@ def _deconv_ref(x_padded, w2, bias4):
     return jnp.pad(up, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
+def _deconv_stream_adapter(inner, x_ref, w_ref, b_ref, zrow_ref, out_ref,
+                           o_stage, sems, zsem):
+    """Positional adapter for the streaming-store deconv layout."""
+    inner(x_ref, w_ref, b_ref, out_ref,
+          stream=(zrow_ref, o_stage, sems, zsem))
+
+
 @jax.custom_vjp
 def deconv_s2d_pallas(
     x_padded: jnp.ndarray,  # (B, M+2, M+2, 4C) — padded s2d at level L+1
     w2: jnp.ndarray,        # (C, 4O) — Deconv2x2 kernel in matmul form
     bias4: jnp.ndarray,     # (4O,) — bias tiled over the 4 sub-pixels
 ) -> jnp.ndarray:
-    b, mp, _, c4 = x_padded.shape
+    b, mp, in_cols, c4 = x_padded.shape
     m, c = mp - 2, c4 // 4
     n = 2 * m
     o4 = w2.shape[-1]
     o_ch = o4 // 4
     dt = x_padded.dtype
+    in_specs = [
+        pl.BlockSpec((1, mp, in_cols, c4), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w2, whole
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+    ]
+    operands = [x_padded, w2.astype(dt),
+                bias4.reshape(1, o4).astype(jnp.float32)]
+    scratch = []
+    if STREAM_OUT:
+        out_cols = _stream_cols(n + 2)
+        strip = _norm_strip(m, 8)
+        kernel = partial(
+            _deconv_stream_adapter,
+            partial(_deconv_kernel, m=m, c=c, o_ch=o_ch, strip=strip),
+        )
+        in_specs.append(_zrow_spec(out_cols, o4))
+        operands.append(jnp.zeros((1, out_cols, o4), dt))
+        out_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = _stream_scratch(2 * strip, out_cols, o4, dt)
+    else:
+        out_cols = n + 2
+        kernel = partial(_deconv_kernel, m=m, c=c, o_ch=o_ch)
+        out_spec = pl.BlockSpec((1, n + 2, n + 2, o4), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_deconv_kernel, m=m, c=c, o_ch=o_ch),
-        out_shape=jax.ShapeDtypeStruct((b, n + 2, n + 2, o4), dt),
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n + 2, out_cols, o4), dt),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, mp, mp, c4), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2, whole
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
-        ],
-        out_specs=pl.BlockSpec((1, n + 2, n + 2, o4), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * m * m * 4 * c * o4,
             bytes_accessed=x_padded.size * 2
-            + b * (n + 2) * (n + 2) * o4 * 2,
+            + b * (n + 2) * out_cols * o4 * 2,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(x_padded, w2.astype(dt), bias4.reshape(1, o4).astype(jnp.float32))
+    )(*operands)
 
 
 def _deconv_fwd(x_padded, w2, bias4):
@@ -367,7 +456,10 @@ def _deconv_fwd(x_padded, w2, bias4):
 def _deconv_bwd(res, g):
     x_padded, w2, bias4 = res
     _, vjp = jax.vjp(_deconv_ref, x_padded, w2, bias4)
-    return vjp(g)
+    # The XLA twin emits the exact (N+2)-column plane; crop a STREAM_OUT
+    # cotangent's constant-zero pad columns before feeding it.
+    n = g.shape[1] - 2
+    return vjp(g[:, :, : n + 2, :])
 
 
 deconv_s2d_pallas.defvjp(_deconv_fwd, _deconv_bwd)
@@ -386,7 +478,7 @@ def _w_rows_for_staging(w4: jnp.ndarray, c4: int, co4: int) -> jnp.ndarray:
 
 def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
             n: int, c4: int, co4: int, strip: int, mode: str,
-            head_co4: int = 0, pool: str = "", pool_ref=None):
+            head_co4: int = 0, pool: str = "", pool_ref=None, stream=None):
     """One batch element. x_ref (1, N+2, N+2, 4C); out_ref same spatial with
     4Co channels; w_ref (4, 4C, 4Co); b/gamma/beta (1, 4Co|4C).
 
@@ -401,10 +493,19 @@ def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
     kernel's HBM re-read + launch disappear and the pool's VPU work
     overlaps the next strip's matmuls. 'pixel' = pixel-domain (1, N, N, Co)
     (pool_s2d twin); 's2d' = next level's padded s2d (1, N/2+2, N/2+2, 4Co)
-    (pool_to_s2d twin; needs even strip so row pairs stay in-strip)."""
+    (pool_to_s2d twin; needs even strip so row pairs stay in-strip).
+
+    stream=(zrow_ref, o_stage, sems, zsem) (via STREAM_OUT) switches the
+    MAIN output to streaming stores — out_ref lives in ANY (HBM) and each
+    strip's result is DMA'd out while the next strip's matmuls run; see
+    _StreamOut for the rationale and WAR-safety argument."""
     c = c4 // 4
     x = x_ref[0]  # (P, P, 4C)
-    if mode != "head":
+    n_strips = n // strip
+
+    if stream is not None:
+        stream = _StreamOut(out_ref, *stream, n=n, strip=strip, co4=co4)
+    elif mode != "head":
         _zero_ring_ref(out_ref, n)  # ring stays zero; interior overwritten
     if pool == "s2d":
         _zero_ring_ref(pool_ref, n // 2)
@@ -451,7 +552,6 @@ def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
                         src * c : (src + 1) * c,
                     ]
 
-    n_strips = n // strip
     if INTERLEAVED_STAGING:
         stage_rows(0, strip + 1)  # strip 0 reads u rows [0, strip]
     else:
@@ -501,7 +601,10 @@ def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
             ).astype(jnp.float32)
             y = trunk + jnp.maximum(y * gamma[None, :] + beta[None, :], 0.0)
         y = y.reshape(strip, n, co4).astype(out_ref.dtype)
-        out_ref[0, j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :] = y
+        if stream is not None:
+            stream.store(s_i, y)
+        else:
+            out_ref[0, j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :] = y
         if pool:
             # Pool from the STORED (dtype-rounded) values so the fused
             # result bit-matches the separate pool kernels reading HBM.
@@ -527,6 +630,118 @@ def _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch, *,
                             1 : n2 + 1,
                             dst * cp : (dst + 1) * cp,
                         ] = blk
+
+    if stream is not None:
+        stream.drain()
+
+
+class _StreamOut:
+    """Streaming-store state for one grid step (STREAM_OUT): the main
+    output lives in ANY (HBM) and each strip's result is DMA'd out of a
+    2-slot VMEM staging ring while the next strip's matmuls run on the
+    MXU. kernel_anatomy measured the whole-plane VMEM output block
+    serializing its store against the MXU (full-kernel marginal 1.145 ms
+    vs 0.823 ms matmul phase at the production L1 shape; the 0.31 ms
+    delta is exactly the un-overlapped output-store time), because
+    double-buffering whole in+out planes exceeds VMEM and Mosaic falls
+    back to serial DMA.
+
+    The output plane is COLUMN-PADDED to ``cols = _stream_cols(n + 2)``
+    so every DMA slice is (8, 128)-tile-aligned (Mosaic rejects
+    misaligned HBM slices — see the STREAM_OUT comment); the ring column
+    0, ring column n+1 and the pad columns [n+2, cols) are zeroed ONCE
+    in the staging slots at grid step 0 and never rewritten (the
+    interior store only touches cols [1, n+1)), so every DMA'd row
+    carries the correct zeros. The zero ring ROWS ride two row DMAs of
+    a constant zeros INPUT (zrow_ref — an input, not a scratch, so
+    there is no vector-write -> DMA-read ordering to trust). WAR
+    safety: a slot is rewritten only after an explicit .wait() on its
+    previous DMA — ordering is explicit semaphore flow, not inferred
+    vector dependence (the round-2 Mosaic hazard was a missed implicit
+    WAR on a reused vector scratch)."""
+
+    def __init__(self, out_ref, zrow_ref, o_stage, sems, zsem, *,
+                 n: int, strip: int, co4: int):
+        self.out_ref, self.o_stage, self.sems = out_ref, o_stage, sems
+        self.n, self.strip = n, strip
+        self.n_strips = n // strip
+        cols = _stream_cols(n + 2)
+        self.grid_i = pl.program_id(0)
+        self._ring = [
+            pltpu.make_async_copy(
+                zrow_ref, out_ref.at[self.grid_i, pl.ds(r, 1)], zsem.at[k]
+            )
+            for k, r in enumerate((0, n + 1))
+        ]
+        self._ring[0].start()
+        self._ring[1].start()
+
+        @pl.when(self.grid_i == 0)
+        def _():
+            o_stage[:, :, 0:1, :] = jnp.zeros(
+                (2, strip, 1, co4), o_stage.dtype
+            )
+            o_stage[:, :, n + 1 : cols, :] = jnp.zeros(
+                (2, strip, cols - n - 1, co4), o_stage.dtype
+            )
+
+    def _dma(self, slot: int, s_i: int):
+        return pltpu.make_async_copy(
+            self.o_stage.at[slot],
+            self.out_ref.at[
+                self.grid_i, pl.ds(s_i * self.strip + 1, self.strip)
+            ],
+            self.sems.at[slot],
+        )
+
+    def store(self, s_i: int, y):
+        """Stage strip ``s_i``'s (strip, n, co4) result and start its DMA."""
+        slot = s_i % 2
+        if s_i >= 2:
+            self._dma(slot, s_i - 2).wait()  # slot free before rewrite
+        self.o_stage[slot, :, 1 : 1 + self.n, :] = y
+        self._dma(slot, s_i).start()
+
+    def drain(self):
+        """Wait out all in-flight DMAs: the grid step must not end with
+        DMAs pending (the next step rewrites the slots; the final step
+        would leak semaphores)."""
+        for s_i in range(max(0, self.n_strips - 2), self.n_strips):
+            self._dma(s_i % 2, s_i).wait()
+        self._ring[0].wait()
+        self._ring[1].wait()
+
+
+def _stream_scratch(strip: int, cols: int, co4: int, dt):
+    """Scratch tail shared by every streaming-store pallas_call: the 2-slot
+    output staging buffer (column-padded width) + its DMA semaphores + the
+    ring-row semaphores."""
+    return [
+        pltpu.VMEM((2, strip, cols, co4), dt),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+
+def _zrow_spec(cols: int, co4: int):
+    """BlockSpec of the constant zero-row input (same block every step)."""
+    return pl.BlockSpec((1, cols, co4), lambda i: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _kernel_stream_adapter(inner, x_ref, w_ref, b_ref, gamma_ref, beta_ref,
+                           zrow_ref, out_ref, u_scratch, o_stage, sems, zsem):
+    """Positional adapter for the streaming-store layout: the zrow input
+    lands after the regular inputs, the stream scratch after u_scratch."""
+    inner(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch,
+          stream=(zrow_ref, o_stage, sems, zsem))
+
+
+def _kernel2_stream_adapter(inner, x1_ref, x2_ref, w1_ref, w2_ref, b_ref,
+                            zrow_ref, out_ref, u1, u2, o_stage, sems, zsem):
+    """Streaming-store adapter for the two-operand kernel."""
+    inner(x1_ref, x2_ref, w1_ref, w2_ref, b_ref, out_ref, u1, u2,
+          stream=(zrow_ref, o_stage, sems, zsem))
 
 
 def conv3x3_s2d_fused(
@@ -585,8 +800,26 @@ def _flip_transpose_w4(w4: jnp.ndarray) -> jnp.ndarray:
 
 def _zero_ring(g: jnp.ndarray) -> jnp.ndarray:
     """Drop cotangents on the padded border ring (the forward writes
-    constant zeros there, so they carry no gradient)."""
-    return jnp.pad(g[:, 1:-1, 1:-1, :], ((0, 0), (1, 1), (1, 1), (0, 0)))
+    constant zeros there, so they carry no gradient). Interior bounds come
+    from the ROW dim: a STREAM_OUT cotangent also carries constant-zero
+    pad columns beyond N+1, which are zeroed here the same way."""
+    n = g.shape[1] - 2
+    return jnp.pad(
+        g[:, 1 : n + 1, 1 : n + 1, :],
+        ((0, 0), (1, 1), (1, g.shape[2] - n - 1), (0, 0)),
+    )
+
+
+def _match_cols(a: jnp.ndarray, cols: int) -> jnp.ndarray:
+    """Crop or zero-pad ``a``'s column dim to ``cols``: an input cotangent
+    must match that input's own column width, while the backward convs emit
+    the CURRENT STREAM_OUT width (the dropped/added pad columns carry
+    constant zeros either way)."""
+    if a.shape[2] == cols:
+        return a
+    if a.shape[2] > cols:
+        return a[:, :, :cols, :]
+    return jnp.pad(a, ((0, 0), (0, 0), (0, cols - a.shape[2]), (0, 0)))
 
 
 def _conv3x3_s2d_fwd(x_padded, w4, bias4, gamma4, beta4, mode, strip):
@@ -650,10 +883,12 @@ def _conv3x3_s2d_bwd(mode, strip, res, g):
     )
     if dx_extra is not None:
         dx = dx + dx_extra
-    dx = dx.astype(x_padded.dtype)
+    # The cotangent must match x's OWN column width (the backward conv
+    # emits the current STREAM_OUT width; pad columns are zeros).
+    dx = _match_cols(dx, x_padded.shape[2]).astype(x_padded.dtype)
 
     dw4 = _dw4_einsums(x_padded, dpre, n).astype(w4.dtype)
-    dbias = jnp.sum(dpre[:, 1:-1, 1:-1, :], axis=(0, 1, 2)).astype(
+    dbias = jnp.sum(dpre[:, 1 : n + 1, 1 : n + 1, :], axis=(0, 1, 2)).astype(
         jnp.asarray(bias4).dtype
     )
     return (dx, dw4, dbias, dgamma, dbeta)
@@ -667,7 +902,7 @@ def _dw4_einsums(x_padded, dpre, n):
     c4 = x_padded.shape[-1]
     co4 = dpre.shape[-1]
     c = c4 // 4
-    dint = dpre[:, 1:-1, 1:-1, :]
+    dint = dpre[:, 1 : n + 1, 1 : n + 1, :]  # explicit: dpre may be col-padded
     dw4 = jnp.zeros((2, 2, c4, co4), f32)
     for A in range(2):
         for B_ in range(2):
@@ -698,8 +933,11 @@ def _conv3x3_s2d_impl(
     mode: str = "relu",
     strip: int = 8,
 ) -> jnp.ndarray:
-    """Kernel dispatch (no VJP); returns padded unshifted s2d."""
-    b, p_dim, _, c4 = x_padded.shape
+    """Kernel dispatch (no VJP); returns padded unshifted s2d — with the
+    column dim padded to _stream_cols(N+2) when STREAM_OUT is on. The
+    input's own column dim may exceed its row dim (a streamed producer);
+    the kernel reads cols [0, N+2) only."""
+    b, p_dim, in_cols, c4 = x_padded.shape
     n = p_dim - 2
     co4 = w4.shape[-1]
     if mode == "film" and c4 != co4:
@@ -718,32 +956,46 @@ def _conv3x3_s2d_impl(
 
     kernel = partial(_kernel, n=n, c4=c4, co4=co4, strip=strip, mode=mode)
     flops = 2 * b * n * n * 4 * c4 * co4
+    in_specs = [
+        pl.BlockSpec((1, p_dim, in_cols, c4), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+        pl.BlockSpec((1, 1, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x_padded, w_flat, bias, gamma, beta]
+    scratch = [pltpu.VMEM((n + 1, n + 1, c4), dt)]
+    if STREAM_OUT:
+        out_cols = _stream_cols(p_dim)
+        kernel = partial(_kernel_stream_adapter, kernel)
+        in_specs.append(_zrow_spec(out_cols, co4))
+        operands.append(jnp.zeros((1, out_cols, co4), dt))
+        out_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch += _stream_scratch(strip, out_cols, co4, dt)
+    else:
+        out_cols = p_dim
+        out_spec = pl.BlockSpec((1, p_dim, p_dim, co4), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, p_dim, p_dim, co4), dt),
+        out_shape=jax.ShapeDtypeStruct((b, p_dim, out_cols, co4), dt),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, p_dim, p_dim, c4), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
-            pl.BlockSpec((1, 1, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, p_dim, p_dim, co4), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n + 1, n + 1, c4), dt)],
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
         # Whole-image blocks + Pallas double-buffering exceed the default
         # 16M scoped-vmem budget at level 1; the physical budget is larger.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=x_padded.size * 2 + b * p_dim * p_dim * co4 * 2,
+            flops=flops,
+            bytes_accessed=x_padded.size * 2 + b * p_dim * out_cols * co4 * 2,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(x_padded, w_flat, bias, gamma, beta)
+    )(*operands)
 
 
 def _kernel_pool(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref,
@@ -753,6 +1005,18 @@ def _kernel_pool(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref,
     _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch,
             n=n, c4=c4, co4=co4, strip=strip, mode=mode,
             pool=pool, pool_ref=pool_ref)
+
+
+def _kernel_pool_stream(x_ref, w_ref, b_ref, gamma_ref, beta_ref, zrow_ref,
+                        out_ref, pool_ref, u_scratch, o_stage, sems, zsem, *,
+                        n, c4, co4, strip, mode, pool):
+    """Streaming-store adapter for the pool-fused kernel: only the MAIN
+    conv output streams (it is the big whole-plane store); the pooled
+    output is 4x smaller and keeps its VMEM block."""
+    _kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, out_ref, u_scratch,
+            n=n, c4=c4, co4=co4, strip=strip, mode=mode,
+            pool=pool, pool_ref=pool_ref,
+            stream=(zrow_ref, o_stage, sems, zsem))
 
 
 def conv3x3_s2d_fused_pool(
@@ -778,7 +1042,7 @@ def conv3x3_s2d_fused_pool(
     INFERENCE-ONLY: no VJP (training keeps the separate kernels, whose
     custom VJPs are already validated); used by FastGenerator behind the
     ``fuse_pool`` knob after on-chip validation (CLAUDE.md kernel gate)."""
-    b, p_dim, _, c4 = x_padded.shape
+    b, p_dim, in_cols, c4 = x_padded.shape
     n = p_dim - 2
     co4 = w4.shape[-1]
     if mode not in ("relu", "none"):
@@ -806,40 +1070,55 @@ def conv3x3_s2d_fused_pool(
     kernel = partial(_kernel_pool, n=n, c4=c4, co4=co4, strip=strip,
                      mode=mode, pool=pool)
     flops = 2 * b * n * n * 4 * c4 * co4
+    in_specs = [
+        pl.BlockSpec((1, p_dim, in_cols, c4), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+        pl.BlockSpec((1, 1, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x_padded, w_flat, bias, gamma, beta]
+    scratch = [pltpu.VMEM((n + 1, n + 1, c4), dt)]
+    pool_spec = pl.BlockSpec(pool_block, lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if STREAM_OUT:
+        out_cols = _stream_cols(p_dim)
+        kernel = partial(_kernel_pool_stream, n=n, c4=c4, co4=co4,
+                         strip=strip, mode=mode, pool=pool)
+        in_specs.append(_zrow_spec(out_cols, co4))
+        operands.append(jnp.zeros((1, out_cols, co4), dt))
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY), pool_spec)
+        scratch += _stream_scratch(strip, out_cols, co4, dt)
+    else:
+        out_cols = p_dim
+        out_specs = (
+            pl.BlockSpec((1, p_dim, p_dim, co4), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pool_spec,
+        )
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((b, p_dim, p_dim, co4), dt),
+            jax.ShapeDtypeStruct((b, p_dim, out_cols, co4), dt),
             jax.ShapeDtypeStruct(pool_shape, dt),
         ),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, p_dim, p_dim, c4), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
-            pl.BlockSpec((1, 1, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, p_dim, p_dim, co4), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(pool_block, lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[pltpu.VMEM((n + 1, n + 1, c4), dt)],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=x_padded.size * 2
-            + b * p_dim * p_dim * co4 * 2
+            + b * p_dim * out_cols * co4 * 2
             + int(np.prod(pool_shape)) * 2,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(x_padded, w_flat, bias, gamma, beta)
+    )(*operands)
 
 
 def conv3x3_s2d_fused_head(
@@ -861,7 +1140,7 @@ def conv3x3_s2d_fused_head(
     separate f32 cast + XLA conv over the full-channel plane never touches
     HBM. INFERENCE-ONLY: no VJP (training's fused path keeps the separate
     head, whose gradient the kernels' custom VJPs already cover)."""
-    b, p_dim, _, c4 = x_padded.shape
+    b, p_dim, in_cols, c4 = x_padded.shape
     n = p_dim - 2
     co4 = w4.shape[-1]
     h4 = w_head4.shape[-1]
@@ -879,7 +1158,7 @@ def conv3x3_s2d_fused_head(
         out_shape=jax.ShapeDtypeStruct((b, n, n, h4), jnp.float32),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, p_dim, p_dim, c4), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, p_dim, in_cols, c4), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # conv weights, whole
             pl.BlockSpec(memory_space=pltpu.VMEM),  # conv bias
@@ -915,11 +1194,14 @@ def conv3x3_s2d_fused_head(
 
 
 def _kernel2(x1_ref, x2_ref, w1_ref, w2_ref, b_ref, out_ref, u1, u2, *,
-             n: int, c4a: int, c4b: int, co4: int, strip: int):
+             n: int, c4a: int, c4b: int, co4: int, strip: int, stream=None):
     ca, cb = c4a // 4, c4b // 4
     x1 = x1_ref[0]
     x2 = x2_ref[0]
-    _zero_ring_ref(out_ref, n)
+    if stream is not None:
+        stream = _StreamOut(out_ref, *stream, n=n, strip=strip, co4=co4)
+    else:
+        _zero_ring_ref(out_ref, n)
     bias = b_ref[0]
 
     # Interleaved single-write staging, same scheme (and same WAR-hazard
@@ -973,9 +1255,14 @@ def _kernel2(x1_ref, x2_ref, w1_ref, w2_ref, b_ref, out_ref, u1, u2, *,
                 acc = acc + jnp.dot(v2, w2_ref[A * 2 + B],
                                     preferred_element_type=jnp.float32)
         y = jnp.maximum(acc + bias[None, :], 0.0)
-        out_ref[0, j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :] = y.reshape(
-            strip, n, co4
-        ).astype(out_ref.dtype)
+        y = y.reshape(strip, n, co4).astype(out_ref.dtype)
+        if stream is not None:
+            stream.store(s_i, y)
+        else:
+            out_ref[0, j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :] = y
+
+    if stream is not None:
+        stream.drain()
 
 
 def conv3x3_s2d_fused2(
@@ -996,8 +1283,9 @@ def _conv2_vjp(x1_padded, x2_padded, w4_1, w4_2, bias4, strip):
 
 
 def _conv2_impl(x1_padded, x2_padded, w4_1, w4_2, bias4, strip):
-    b, p_dim, _, c4a = x1_padded.shape
+    b, p_dim, cols1, c4a = x1_padded.shape
     c4b = x2_padded.shape[-1]
+    cols2 = x2_padded.shape[2]  # the two inputs' col pads may differ
     n = p_dim - 2
     co4 = w4_1.shape[-1]
     strip = _norm_strip(n, strip)
@@ -1007,36 +1295,49 @@ def _conv2_impl(x1_padded, x2_padded, w4_1, w4_2, bias4, strip):
     bias = bias4.reshape(1, co4).astype(jnp.float32)
     kernel = partial(_kernel2, n=n, c4a=c4a, c4b=c4b, co4=co4, strip=strip)
     flops = 2 * b * n * n * 4 * (c4a + c4b) * co4
+    in_specs = [
+        pl.BlockSpec((1, p_dim, cols1, c4a), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p_dim, cols2, c4b), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [x1_padded, x2_padded, w1, w2, bias]
+    scratch = [
+        pltpu.VMEM((n + 1, n + 1, c4a), dt),
+        pltpu.VMEM((n + 1, n + 1, c4b), dt),
+    ]
+    if STREAM_OUT:
+        out_cols = _stream_cols(p_dim)
+        kernel = partial(_kernel2_stream_adapter, kernel)
+        in_specs.append(_zrow_spec(out_cols, co4))
+        operands.append(jnp.zeros((1, out_cols, co4), dt))
+        out_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch += _stream_scratch(strip, out_cols, co4, dt)
+    else:
+        out_cols = p_dim
+        out_spec = pl.BlockSpec((1, p_dim, p_dim, co4), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, p_dim, p_dim, co4), dt),
+        out_shape=jax.ShapeDtypeStruct((b, p_dim, out_cols, co4), dt),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, p_dim, p_dim, c4a), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p_dim, p_dim, c4b), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, p_dim, p_dim, co4), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((n + 1, n + 1, c4a), dt),
-            pltpu.VMEM((n + 1, n + 1, c4b), dt),
-        ],
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=x1_padded.size * 2 + x2_padded.size * 2
-            + b * p_dim * p_dim * co4 * 2,
+            + b * p_dim * out_cols * co4 * 2,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(x1_padded, x2_padded, w1, w2, bias)
+    )(*operands)
 
 
 def _conv2_fwd(x1, x2, w4_1, w4_2, bias4, strip):
@@ -1054,21 +1355,23 @@ def _conv2_bwd(strip, res, g):
     g = _zero_ring(g)
     dpre = jnp.where(out > 0, g, 0.0).astype(x1.dtype)
 
-    def dx_for(w4, c4):
+    def dx_for(w4, x):
         # Raw impl (no VJP) — first-order-only, same contract as
-        # _conv3x3_s2d_bwd above.
-        return _conv3x3_s2d_impl(
-            dpre, _flip_transpose_w4(w4), jnp.zeros((c4,), f32),
+        # _conv3x3_s2d_bwd above. Cropped/padded to that input's own
+        # column width (see _match_cols).
+        dx = _conv3x3_s2d_impl(
+            dpre, _flip_transpose_w4(w4), jnp.zeros((x.shape[-1],), f32),
             jnp.zeros((b, co4), f32), jnp.zeros((b, co4), f32), "none", strip,
-        ).astype(x1.dtype)
+        )
+        return _match_cols(dx, x.shape[2]).astype(x.dtype)
 
-    dx1 = dx_for(w4_1, x1.shape[-1])
-    dx2 = dx_for(w4_2, x2.shape[-1])
+    dx1 = dx_for(w4_1, x1)
+    dx2 = dx_for(w4_2, x2)
     dw1 = _dw4_einsums(x1, dpre.astype(f32), n).astype(w4_1.dtype)
     dw2 = _dw4_einsums(x2, dpre.astype(f32), n).astype(w4_2.dtype)
-    dbias = jnp.sum(dpre[:, 1:-1, 1:-1, :].astype(f32), axis=(0, 1, 2)).astype(
-        jnp.asarray(bias4).dtype
-    )
+    dbias = jnp.sum(
+        dpre[:, 1 : n + 1, 1 : n + 1, :].astype(f32), axis=(0, 1, 2)
+    ).astype(jnp.asarray(bias4).dtype)
     return (dx1, dx2, dw1, dw2, dbias)
 
 
@@ -1168,7 +1471,7 @@ def _conv5_vjp(x_padded, w5, bias, mode, strip):
 def _conv5_impl(x_padded, w5, bias, mode, strip):
     from . import s2d_conv as S
 
-    b, p_dim, _, c4 = x_padded.shape
+    b, p_dim, in_cols, c4 = x_padded.shape
     n = p_dim - 2
     co4 = 4 * w5.shape[-1]
     strip = _norm_strip(n, strip)
@@ -1193,7 +1496,7 @@ def _conv5_impl(x_padded, w5, bias, mode, strip):
         out_shape=jax.ShapeDtypeStruct((b, p_dim, p_dim, co4), dt),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, p_dim, p_dim, c4), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, p_dim, in_cols, c4), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1245,7 +1548,7 @@ def _conv5_bwd(mode, strip, res, g):
 
     # dW: 9 MXU einsums give the s2d-kernel cotangent; the linear transform's
     # vjp gathers it back to the pixel 5x5 kernel exactly.
-    dint = dpre[:, 1:-1, 1:-1, :].astype(f32)
+    dint = dpre[:, 1 : n + 1, 1 : n + 1, :].astype(f32)
     dw9 = jnp.stack(
         [
             jnp.stack(

@@ -581,7 +581,8 @@ class FusedGenerator:
             # (reads the plane once; no f32 cast pass, no 1x1 conv).
             hm = jnp.mean(h, axis=-1, keepdims=True).astype(jnp.float32)
             if 1 in self.pallas_levels and self.pallas_decoder:
-                hm = hm[:, 1:-1, 1:-1, :]
+                nn_ = h.shape[1] - 2  # rows: h may carry STREAM_OUT pad cols
+                hm = hm[:, 1 : nn_ + 1, 1 : nn_ + 1, :]
                 hm = S.d2s(jnp.tile(hm, (1, 1, 1, 4)))  # 1-ch s2d stand-in
             return jnp.tanh(hm[..., : max(self.cfg.n_out, 1)])
         head_s2d_padded = 1 in self.pallas_levels and self.pallas_decoder

@@ -1,15 +1,15 @@
 """A/B the current round's inference-kernel knobs on the real chip.
 
-Round-4 matrix (the round-3 questions — staging schedule, aligned
-staging, head fusion — are settled and their measured losers documented
-in docs/PERF.md): the relayout-fusion levers from the roofline's biggest
-measured-vs-floor gaps (VERDICT r3 item 3):
+Round-4b matrix (round-4a settled fuse_pool=1 as a +0.5% winner and
+head_bf16 as a wash — docs/PERF.md):
 
+  stream_out — streaming output stores (conv output in ANY/HBM, strip
+               results DMA'd from a 2-slot VMEM ring while the next
+               strip's matmuls run; the kernel-anatomy finding that the
+               whole-plane store serializes against the MXU);
   fuse_pool  — encoder pools emitted from the conv kernels' epilogues
                (conv3x3_s2d_fused_pool) instead of separate relayout
-               kernels re-reading HBM;
-  head_bf16  — 1x1 head conv on the bf16 plane (f32 accum) instead of
-               casting the 128-ch plane to f32 first.
+               kernels re-reading HBM.
 
 Same scan-with-dependency-chain methodology as bench.py (docs/PERF.md
 remote-backend rules) — winners are chosen on numbers, not intuition.
@@ -37,7 +37,10 @@ BATCH = 256
 
 
 def measure(variables, fuse_pool: bool = False, head_bf16: bool = False,
-            fuse_head: bool = False, strip: int = 16) -> float:
+            fuse_head: bool = False, strip: int = 16,
+            stream_out: bool | None = None) -> float:
+    if stream_out is not None:
+        csp.STREAM_OUT = stream_out
     cfg = ModelConfig(
         image_size=256, first_fm=32, n_input_channels=1,
         compute_dtype="bfloat16",
@@ -75,17 +78,25 @@ def main():
         compute_dtype="bfloat16",
     )
     _, variables = init_generator(cfg, jax.random.key(0))
-    for fuse_pool in (False, True):
-        for head_bf16 in (False, True):
+    # Round-4b matrix: streaming output stores (STREAM_OUT, the
+    # kernel-anatomy finding that the conv store does not overlap the
+    # MXU) x pool fusion (the settled round-4a winner, kept as a sanity
+    # column). head_bf16 measured a wash and is dropped from the matrix.
+    default_stream = csp.STREAM_OUT
+    for stream_out in (False, True):
+        for fuse_pool in (False, True):
             try:
                 v = measure(variables, fuse_pool=fuse_pool,
-                            head_bf16=head_bf16)
-                print(f"fuse_pool={int(fuse_pool)} head_bf16={int(head_bf16)}"
+                            stream_out=stream_out)
+                print(f"stream_out={int(stream_out)} "
+                      f"fuse_pool={int(fuse_pool)}"
                       f" -> {v:8.1f} slices/s", flush=True)
             except Exception as e:
-                print(f"fuse_pool={int(fuse_pool)} head_bf16={int(head_bf16)}"
+                print(f"stream_out={int(stream_out)} "
+                      f"fuse_pool={int(fuse_pool)}"
                       f" FAILED {type(e).__name__}: "
                       f"{str(e).splitlines()[0][:120]}", flush=True)
+    csp.STREAM_OUT = default_stream
 
 
 if __name__ == "__main__":

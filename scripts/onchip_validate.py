@@ -41,6 +41,17 @@ FAILS = []
 
 
 def _check(name, got, want, tol):
+    if got.shape != want.shape:
+        # STREAM_OUT planes carry zero pad columns beyond the exact twin's
+        # width (conv_s2d_pallas._stream_cols): the pad must be EXACT zeros
+        # and the cropped interior is what the twin check compares.
+        sl = tuple(slice(0, s) for s in want.shape)
+        pad_max = float(jnp.max(jnp.abs(got[:, :, want.shape[2]:, :])))
+        if pad_max != 0.0:
+            print(f"FAIL {name}: nonzero stream pad cols ({pad_max})",
+                  flush=True)
+            FAILS.append((f"{name}[stream pad]", pad_max))
+        got = got[sl]
     err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
                                 - want.astype(jnp.float32))))
     ok = err <= tol
@@ -574,6 +585,7 @@ def main():
 
     default_aligned = csp.ALIGNED_STAGING
     default_packed = csp.CONV5_PACKED
+    default_stream = csp.STREAM_OUT
     # conv3 family — BOTH staging variants (ALIGNED_STAGING selects
     # lane-aligned staging + weight row-block reversal; validate both
     # codegens so the A/B flag flip is always chip-safe).
@@ -610,6 +622,28 @@ def main():
         check_conv5(64, 16, 32, 16, seed=40 + tag_seed)
         check_conv5(64, 32, 32, 16, seed=41 + tag_seed)
     csp.CONV5_PACKED = default_packed
+    # Streaming output stores (round 4): STREAM_OUT moves the conv3
+    # family's whole-plane VMEM output block to ANY (HBM) with explicit
+    # 2-slot DMA staging so the store overlaps the next strip's matmuls
+    # (see conv_s2d_pallas._StreamOut — explicit-semaphore WAR ordering).
+    # Validate the streamed codegen of every affected path at production
+    # shapes, forward AND grads (the VJP's backward convs stream too).
+    csp.STREAM_OUT = True
+    print("-- conv3 family: streaming output stores", flush=True)
+    check_conv3(128, 32, 32, 16)
+    check_conv3(128, 8, 32, 16, seed=20)
+    check_film(128, 32, 16)
+    check_conv3_fused2(128, 32, 32, 32, 16)
+    check_conv3(64, 64, 64, 16, seed=31)
+    check_conv3_pool(128, 32, 32, 16, pool="s2d")
+    check_conv3_pool(64, 64, 64, 16, pool="pixel")
+    check_deconv(64, 64, 32)   # production L1 deconv, streamed
+    check_deconv(32, 96, 64)   # production L2 deconv, streamed
+    check_conv3_grad(128, 32, 32, 16, mode="relu")
+    check_conv3_grad(128, 32, 32, 16, mode="film", dt=jnp.float32,
+                     rtol=0.02)
+    check_conv2_grad(128, 32, 32, 32, 16)
+    csp.STREAM_OUT = default_stream
     # conv+pool fusion (round 4): the conv emits its own pool from VMEM.
     # Production sites: gen_1 (n=128, 32ch, pool->s2d) and gen_3 (n=64,
     # 64ch, pool->pixel); must bit-match conv followed by the pool kernel.

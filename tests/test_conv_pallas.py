@@ -200,3 +200,150 @@ def test_aligned_staging_fused2_matches(rng, monkeypatch):
             to_padded_s2d(x1), to_padded_s2d(x2),
             jnp.asarray(w14), jnp.asarray(w24), jnp.asarray(b4))))
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+
+
+def test_stream_out_matches_plain_all_paths(rng, monkeypatch):
+    """STREAM_OUT=True (streaming output stores: out in ANY/HBM, strip
+    results DMA'd from a 2-slot VMEM ring while the next strip's matmuls
+    run — see _StreamOut) is a pure codegen change: every streamed path
+    (relu/film conv, two-operand fused2, both pool fusions) must
+    bit-match the whole-plane VMEM-block store it replaces."""
+    from depgan_tpu.ops import conv_s2d_pallas as csp
+    from depgan_tpu.ops.conv_s2d_pallas import (
+        conv3x3_s2d_fused2,
+        conv3x3_s2d_fused_pool,
+    )
+
+    b_sz, hw, c = 2, 16, 8
+    x = jnp.asarray(rng.normal(size=(b_sz, hw, hw, c)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(b_sz, hw, hw, c)).astype(np.float32))
+    w = rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.2
+    w2 = rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.2
+    bias = rng.normal(size=(c,)).astype(np.float32)
+    w4, b4 = S.conv3x3_to_s2d_kernel(w, bias)
+    w24, _ = S.conv3x3_to_s2d_kernel(w2)
+    gm = jnp.asarray(np.tile(rng.normal(size=(b_sz, c)).astype(np.float32),
+                             (1, 4)))
+    bt = jnp.asarray(np.tile(rng.normal(size=(b_sz, c)).astype(np.float32),
+                             (1, 4)))
+    xp, x2p = to_padded_s2d(x), to_padded_s2d(x2)
+    w4j, w24j, b4j = jnp.asarray(w4), jnp.asarray(w24), jnp.asarray(b4)
+
+    def run_all():
+        return [
+            conv3x3_s2d_fused(xp, w4j, b4j, mode="relu"),
+            conv3x3_s2d_fused(xp, w4j, b4j, gm, bt, mode="film"),
+            conv3x3_s2d_fused2(xp, x2p, w4j, w24j, b4j),
+            *conv3x3_s2d_fused_pool(xp, w4j, b4j, pool="s2d"),
+            *conv3x3_s2d_fused_pool(xp, w4j, b4j, pool="pixel"),
+        ]
+
+    outs = []
+    for streamed in (False, True):
+        monkeypatch.setattr(csp, "STREAM_OUT", streamed)
+        outs.append([np.asarray(o) for o in run_all()])
+    for plain, streamed in zip(*outs):
+        # Streamed padded-s2d outputs carry their column dim padded to a
+        # multiple of 8 (_stream_cols) with constant-zero pad columns;
+        # cropped to the plain width they must BIT-match.
+        cols = plain.shape[2]
+        np.testing.assert_array_equal(plain, streamed[:, :, :cols])
+        if streamed.shape[2] > cols:
+            np.testing.assert_array_equal(
+                streamed[:, :, cols:], np.zeros_like(streamed[:, :, cols:])
+            )
+
+
+def test_stream_out_chained_consumers_match_plain(rng, monkeypatch):
+    """A streamed conv's COLUMN-PADDED output must be consumed correctly by
+    every downstream kernel (conv/film/fused2/pools/deconv derive N from
+    rows and read cols [0, N+2) only) — a two-kernel chain plus the
+    relayout kernels must match the plain-store chain exactly."""
+    from depgan_tpu.ops import conv_s2d_pallas as csp
+    from depgan_tpu.ops.conv_s2d_pallas import (
+        deconv_s2d_pallas,
+        pool_s2d_pallas,
+        pool_to_s2d_pallas,
+    )
+
+    b_sz, hw, c = 2, 16, 8
+    x = jnp.asarray(rng.normal(size=(b_sz, hw, hw, c)).astype(np.float32))
+    w = rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.2
+    w2c = rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.2
+    bias = rng.normal(size=(c,)).astype(np.float32)
+    w4, b4 = S.conv3x3_to_s2d_kernel(w, bias)
+    w24, b24 = S.conv3x3_to_s2d_kernel(w2c, bias)
+    # deconv takes (C, 4O) with C = conv-out channels per s2d group (= c
+    # here) — pick O = 2.
+    wd = rng.normal(size=(c, 8)).astype(np.float32) * 0.2
+    bd = rng.normal(size=(8,)).astype(np.float32)
+    xp = to_padded_s2d(x)
+    w4j, b4j = jnp.asarray(w4), jnp.asarray(b4)
+    w24j, b24j = jnp.asarray(w24), jnp.asarray(b24)
+    wdj, bdj = jnp.asarray(wd), jnp.asarray(bd)
+
+    def chain():
+        h = conv3x3_s2d_fused(xp, w4j, b4j, mode="relu")
+        h2 = conv3x3_s2d_fused(h, w24j, b24j, mode="relu")
+        return [
+            h2,
+            pool_s2d_pallas(h),
+            pool_to_s2d_pallas(h),
+            deconv_s2d_pallas(h, wdj, bdj),
+        ]
+
+    outs = []
+    for streamed in (False, True):
+        monkeypatch.setattr(csp, "STREAM_OUT", streamed)
+        outs.append([np.asarray(o) for o in chain()])
+    for plain, streamed in zip(*outs):
+        cols = plain.shape[2]
+        np.testing.assert_array_equal(plain, streamed[:, :, :cols])
+
+
+def test_stream_out_gradients_match_plain(rng, monkeypatch):
+    """The custom VJPs run their backward convs through the same streamed
+    impls — gradients with STREAM_OUT on must equal the plain-store path."""
+    from depgan_tpu.ops import conv_s2d_pallas as csp
+    from depgan_tpu.ops.conv_s2d_pallas import conv3x3_s2d_fused2
+
+    b_sz, hw, c = 1, 16, 8
+    x = jnp.asarray(rng.normal(size=(b_sz, hw, hw, c)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(b_sz, hw, hw, c)).astype(np.float32))
+    w = rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.2
+    w2 = rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.2
+    bias = rng.normal(size=(c,)).astype(np.float32)
+    w4, b4 = S.conv3x3_to_s2d_kernel(w, bias)
+    w24, _ = S.conv3x3_to_s2d_kernel(w2)
+    xp, x2p = to_padded_s2d(x), to_padded_s2d(x2)
+    w4j, w24j, b4j = jnp.asarray(w4), jnp.asarray(w24), jnp.asarray(b4)
+
+    def loss1(xp_, w4_, b4_):
+        return jnp.sum(conv3x3_s2d_fused(xp_, w4_, b4_, mode="relu") ** 2)
+
+    def loss2(x1_, x2_, wa_, wb_, b_):
+        return jnp.sum(conv3x3_s2d_fused2(x1_, x2_, wa_, wb_, b_) ** 2)
+
+    from depgan_tpu.ops.conv_s2d_pallas import deconv_s2d_pallas
+
+    wd = jnp.asarray(rng.normal(size=(c, 8)).astype(np.float32) * 0.2)
+    bd = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+
+    def loss3(xp_, wd_, bd_):
+        # interior sum only: the streamed deconv output carries extra
+        # zero pad columns, so a full-plane sum would still match — the
+        # interior sum additionally pins the VJP's cotangent crop.
+        y = deconv_s2d_pallas(xp_, wd_, bd_)
+        nn_ = y.shape[1] - 2
+        return jnp.sum(y[:, 1 : nn_ + 1, 1 : nn_ + 1, :] ** 2)
+
+    grads = []
+    for streamed in (False, True):
+        monkeypatch.setattr(csp, "STREAM_OUT", streamed)
+        g1 = jax.grad(loss1, argnums=(0, 1, 2))(xp, w4j, b4j)
+        g2 = jax.grad(loss2, argnums=(0, 1, 2, 3, 4))(
+            xp, x2p, w4j, w24j, b4j)
+        g3 = jax.grad(loss3, argnums=(0, 1, 2))(xp, wd, bd)
+        grads.append([np.asarray(g) for g in (*g1, *g2, *g3)])
+    for plain, streamed in zip(*grads):
+        np.testing.assert_array_equal(plain, streamed)
