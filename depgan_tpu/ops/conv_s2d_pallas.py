@@ -97,6 +97,17 @@ if "DEPGAN_CONV5_PACKED" in _os.environ:
 # dependence tracking). Same on-chip gate as every kernel change:
 # scripts/onchip_validate.py on the real chip before this defaults on.
 #
+# VERDICT (round 4, measured): REJECTED — on-chip validation passed at
+# every production shape (forwards, gradients, chained consumers), but
+# the full inference A/B measured 2530/2575 slices/s streamed vs
+# 2831/2841 with the plain whole-plane stores (scripts/ab_inference.py,
+# batch 256). The manual ring pays more than the serialized store it
+# replaces: +4.6% store traffic from the 8-aligned pad columns (136 vs
+# 130), consumers then read a 130-col window out of a 136-col plane
+# (misaligned staging copies), and per-strip DMA issue + semaphore waits
+# add fixed cost ~8x per plane. Kept as a measured-and-documented dead
+# end (CPU tests pin bit-identity of every streamed path); default OFF.
+#
 # LAYOUT: Mosaic requires DMA slices of a tiled HBM memref to be
 # (8, 128)-tile-aligned on the last two dims — a whole-row slice of a
 # (N+2)-column plane (130/66/34, always ≡ 2 mod 8) is REJECTED at compile
