@@ -83,12 +83,17 @@ def measure(fn, x, args):
     return min(reps) / N_SCAN * 1e3
 
 
-def stage(name, fn, make_x, args, flops=0, kdim=0, ndim=0):
+def stage(name, fn, make_x, args=(), flops=0, kdim=0, ndim=0, args_fn=None):
     """Measure fn at B and 2B; record floors. make_x(b) builds the chained
-    operand; matmul K/N dims give the shape-adjusted MXU floor."""
+    operand; matmul K/N dims give the shape-adjusted MXU floor. Batch-
+    dependent extra operands (e.g. the forward residual a backward piece
+    masks against) come from args_fn(b) instead of the fixed args."""
+    if args_fn is not None:
+        args = args_fn(B)
     x1 = make_x(B)
     t1 = measure(fn, x1, args)
-    t2 = measure(fn, make_x(2 * B), args)
+    t2 = measure(fn, make_x(2 * B),
+                 args_fn(2 * B) if args_fn is not None else args)
     out = jax.eval_shape(lambda x, a: fn(x, *a), x1, args)
     nbytes = sum(a.size * jnp.dtype(a.dtype).itemsize
                  for a in jax.tree.leaves((x1, args, out)))
@@ -228,8 +233,85 @@ def main():
           lambda x, p: fc.score_and_input_grad(p, x)[1],
           lambda b: rand_px(b, 256, 1), (params,))
 
+    # --- input-grad backward chain, piece by piece (round 4) ---------------
+    # The fwd+input-grad marginal measured 7.00 ms vs a ~3.7 ms FLOP-
+    # symmetry expectation (fwd marg 1.87 + bwd convs ~ fwd convs) — these
+    # rows localize the ~1.9x backward-chain gap before any kernel work.
+    # Pieces mirror fast_critic.score_and_input_grad exactly: the tail VJP
+    # (plain XLA), the relu-mask + ring-crop + re-pad glue, the flip-
+    # transposed conv5 through the same Pallas op, the two pool backwards
+    # (jax.vjp of their XLA twins — suspect: XLA s2d relayout transposes),
+    # and the entry_pack adjoint.
+    from depgan_tpu.ops import s2d_conv as S
+    from depgan_tpu.ops.conv_s2d_pallas import _pool_bwd, _pool_to_s2d_bwd
+
+    def tail_vjp_piece(pix, p):
+        score, vjp = jax.vjp(lambda h: fc._tail(p, h), pix)
+        return vjp(jnp.ones_like(score))[0]
+
+    stage("BWD tail VJP (dis_2..dense)", tail_vjp_piece,
+          lambda b: rand_px(b, 64, 32, dtype=DT), (params,))
+
+    def mask_pad(d_out, out):
+        d_pre = jnp.where(out > 0, d_out, 0.0).astype(DT)
+        return jnp.pad(d_pre[:, 1:-1, 1:-1, :],
+                       ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def conv5_bwd_full(d_out, out, w5, c_in4):
+        d_pre = mask_pad(d_out, out)
+        w_bwd = jnp.flip(w5, axis=(0, 1)).transpose(0, 1, 3, 2)
+        return conv5x5_s2d_fused(d_pre, w_bwd.astype(DT),
+                                 jnp.zeros((c_in4 // 4,), jnp.float32),
+                                 mode="none", strip=fc.strip)
+
+    bwd_shapes = [  # (tag, n, c4 of d_out, c4 of dX, fwd kernel)
+        ("dis_1b", 64, 128, 128, k1b),
+        ("dis_1a", 64, 128, 64, k1a),
+        ("dis_0b", 128, 64, 64, k0b),
+        ("dis_0a", 128, 64, 16, k0a),
+    ]
+    for tag, n, c4o, c4i, w5 in bwd_shapes:
+        stage(f"BWD maskpad {tag} (n={n}, c4={c4o})", mask_pad,
+              lambda b, n=n, c=c4o: rand_s2d(b, n, c, 1),
+              args_fn=lambda b, n=n, c=c4o: (rand_s2d(b, n, c, 2),))
+        # w5/c4i bound statically (c4i sizes the zero bias — must not be
+        # a traced operand; w5 is a tiny (5,5,C,Co) constant).
+        stage(f"BWD conv5T {tag} (n={n}, {c4o}->{c4i})",
+              lambda d, out, w5=w5, ci=c4i: conv5_bwd_full(d, out, w5, ci),
+              lambda b, n=n, c=c4o: rand_s2d(b, n, c, 1),
+              args_fn=lambda b, n=n, c=c4o: (rand_s2d(b, n, c, 2),),
+              flops=c5_flops(B, n, c4o, c4i), kdim=c4o, ndim=c4i)
+
+    stage("BWD pool_s2d (n=64, c4=128)",
+          lambda g, h: _pool_bwd(h, g)[0],
+          lambda b: rand_px(b, 64, 32, 1, dtype=DT),
+          args_fn=lambda b: (rand_s2d(b, 64, 128, 2),))
+    stage("BWD pool_to_s2d (n=128, c4=64)",
+          lambda g, h: _pool_to_s2d_bwd(h, g)[0],
+          lambda b: rand_s2d(b, 64, 64, 1),
+          args_fn=lambda b: (rand_s2d(b, 128, 64, 2),))
+
+    def entry_adj(d_xp):
+        d_grp = d_xp[:, 1:-1, 1:-1, :]
+        b, n, _, _ = d_grp.shape
+        d_real = d_grp.reshape(b, n, n, 4, fc.entry_pad)[..., :1]
+        return S.d2s(d_real.reshape(b, n, n, 4)).astype(jnp.float32)
+
+    stage("BWD entry adjoint (d2s)", entry_adj,
+          lambda b: rand_s2d(b, 128, 16), ())
+
+    n_bwd = 1 + 2 * len(bwd_shapes) + 3  # tail vjp + pieces + pools + entry
+    bwd_rows = ROWS[-n_bwd:]
+    bwd_marg = sum(r[2] - r[1] for r in bwd_rows)
+    full_g = next(r for r in ROWS if r[0].startswith("FULL fwd +"))
+    fwd_full = next(r for r in ROWS if r[0].startswith("FULL critic fwd fused"))
+    print("-" * 86, flush=True)
+    print(f"BWD pieces marginal sum {bwd_marg:.3f} ms + fwd marginal "
+          f"{fwd_full[2] - fwd_full[1]:.3f} vs FULL fwd+grad marginal "
+          f"{full_g[2] - full_g[1]:.3f}", flush=True)
+
     # --- summary -------------------------------------------------------------
-    per_stage = ROWS[1:-5]  # drop calibration + composites
+    per_stage = ROWS[1 : -(5 + n_bwd)]  # drop calibration + composites + bwd
     calib = ROWS[0]
     t_sum = sum(r[1] for r in per_stage)
     fix_sum = sum(max(2 * r[1] - r[2], 0.0) for r in per_stage)
