@@ -9,7 +9,8 @@ XLA-twin check, the profiles are meaningless and are skipped.
 Run (real TPU): python scripts/onchip_session.py [phases]
   phases: comma list of {validate,micro,critic,critic_roofline,superstep,
   ab,roofline,anatomy}; default all of those. Opt-in-only extras (request
-  explicitly): packed_tap (the pixel-domain boundary-op probe), ablation
+  explicitly): rowblk (the row-blocked-output conv pipeline probe),
+  packed_tap (the pixel-domain boundary-op probe), ablation
   (TRUE in-graph per-stage forward costs by end-to-end differencing),
   anchor (scripts/fold_anchor.py, the measured GAN training-wall anchor),
   uresnet_anchor (the supervised epoch wall) and bench (the BENCH
@@ -89,6 +90,10 @@ def main():
         import packed_tap_probe
 
         run_phase("packed_tap", packed_tap_probe.main)
+    if "rowblk" in want:
+        import rowblk_probe
+
+        run_phase("rowblk", rowblk_probe.main)
     if "ablation" in want:
         import ablation_forward
 
