@@ -116,14 +116,22 @@ def main(argv=None) -> int:
     p.add_argument("--out-dir", default="outputs/depgan")
     p.add_argument("--n-repeat", type=int, default=10)
     p.add_argument("--fast", action="store_true",
-                   help="FastGenerator inference (folded BN + Pallas s2d)")
+                   help="FastGenerator inference (folded BN + fused Pallas "
+                        "s2d kernels): ~2.4x the plain Flax module's "
+                        "measured TPU throughput (docs/PERF.md headline "
+                        "table), numerically ~1e-3 from it (bf16 trunk; "
+                        "validated on chip by scripts/onchip_validate.py). "
+                        "Default OFF = faithful plain-module numerics.")
 
     p = sub.add_parser("test-uresnet", help="UResNet inference + evaluation, 4-fold")
     _add_common(p, train_manifests=False)
     p.add_argument("--weights", required=True)
     p.add_argument("--out-dir", default="outputs/depuresnet")
     p.add_argument("--n-repeat", type=int, default=10)
-    p.add_argument("--fast", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="FastGenerator inference (softmax variant): ~2.4x "
+                        "the plain module's measured TPU throughput, ~1e-3 "
+                        "numeric delta. Default OFF = faithful numerics.")
 
     p = sub.add_parser("import-weights",
                        help="Keras .h5 -> Flax variables (optionally saved)")
