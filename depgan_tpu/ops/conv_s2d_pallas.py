@@ -809,16 +809,26 @@ def _flip_transpose_w4(w4: jnp.ndarray) -> jnp.ndarray:
     return w4_bwd
 
 
+def _interior_mask(p_dim: int, cols: int, n: int, dtype) -> jnp.ndarray:
+    """(1, p_dim, cols, 1) 0/1 mask selecting the interior [1, n+1) x
+    [1, n+1). A broadcasted multiply by this fuses into the adjacent
+    elementwise ops as ONE pass; the old pad(slice(...)) formulation
+    measured ~5.7x its HBM floor on chip (round-5 critic roofline: the
+    mask/pad glue cost as much as the transposed conv it fed)."""
+    row = (jnp.arange(p_dim) >= 1) & (jnp.arange(p_dim) <= n)
+    col = (jnp.arange(cols) >= 1) & (jnp.arange(cols) <= n)
+    return (row[:, None] & col[None, :]).astype(dtype)[None, :, :, None]
+
+
 def _zero_ring(g: jnp.ndarray) -> jnp.ndarray:
     """Drop cotangents on the padded border ring (the forward writes
     constant zeros there, so they carry no gradient). Interior bounds come
     from the ROW dim: a STREAM_OUT cotangent also carries constant-zero
-    pad columns beyond N+1, which are zeroed here the same way."""
+    pad columns beyond N+1, which are zeroed here the same way.
+    Implemented as a fused multiplicative mask (0/1 multiplies are exact,
+    so this matches the old pad(slice) up to the sign of zeros)."""
     n = g.shape[1] - 2
-    return jnp.pad(
-        g[:, 1 : n + 1, 1 : n + 1, :],
-        ((0, 0), (1, 1), (1, g.shape[2] - n - 1), (0, 0)),
-    )
+    return g * _interior_mask(g.shape[1], g.shape[2], n, g.dtype)
 
 
 def _match_cols(a: jnp.ndarray, cols: int) -> jnp.ndarray:
@@ -1387,6 +1397,454 @@ def _conv2_bwd(strip, res, g):
 
 
 _conv2_vjp.defvjp(_conv2_fwd, _conv2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Chained two-conv kernel (round 5) — HBM-traffic ELIMINATION.
+#
+# Round 5 closed the store/fetch-overlap question: all three scheduling
+# formulations (STREAM_OUT manual DMA ring, ALIGNED_STAGING, row-blocked
+# output grids) measured REJECTED on chip (docs/PERF.md), so the
+# per-kernel un-overlapped store is a fixed cost of the whole-plane
+# design. What remains reachable is removing HBM round trips outright:
+# the generator's site chains (conv_in -> film -> conv_out,
+# models/film.py; reference `...twoCritics_training_4fold.py:420-470`)
+# store each intermediate plane to HBM only for the next kernel to read
+# it straight back (store+load = 2.7 ms at L1/batch-256, 1.4 ms at L2 —
+# pure serial HBM time by the kernel-anatomy measurement). This kernel
+# runs TWO chained 3x3 s2d convs in one pallas_call: the intermediate
+# plane lives in a VMEM scratch (bf16-rounded exactly as the HBM
+# round trip would round it, so the result is bit-identical to the
+# sequential two-kernel composition), and only x and the final output
+# touch HBM.
+#
+# VMEM budget: x + u1 + h + u2 + out = 5 plane-sized buffers — ~21.5 MB
+# at the L1 shape, well under what the production fused2 kernel already
+# holds resident (~47 MB at dec p1), i.e. within this chip's VMEM.
+#
+# WAR safety (the round-2 Mosaic hazard rule): every scratch region is
+# written exactly once per grid step — u1 staged once, h's ring and
+# interior disjointly once, u2 once — only RAW dependencies anywhere.
+#
+# INFERENCE-ONLY: no VJP (training keeps the separate kernels whose
+# custom VJPs are validated); used by FastGenerator behind `fuse_chain`
+# after on-chip validation (CLAUDE.md kernel gate).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_chain2(x_ref, w1_ref, w2_ref, b1_ref, b2_ref, gamma_ref,
+                   beta_ref, out_ref, u1, h, u2, *, n: int, c4i: int,
+                   c4m: int, c4o: int, strip: int, modes: tuple):
+    """One batch element: x (1, N+2, N+2, 4Ci) -> conv1[modes[0]] ->
+    h (VMEM, padded, 4Cm) -> conv2[modes[1]] -> out (1, N+2, N+2, 4Co).
+
+    modes: two of {'relu', 'film', 'none'}; at most one 'film'. The film
+    stage's trunk residual is that stage's own input (x for stage 1, h for
+    stage 2 — matching conv3x3_s2d_fused's film semantics), and gamma/beta
+    apply there."""
+    ci, cm = c4i // 4, c4m // 4
+    x = x_ref[0]
+    bias1 = b1_ref[0]
+    bias2 = b2_ref[0]
+    gamma = gamma_ref[0, 0]
+    beta = beta_ref[0, 0]
+    n_strips = n // strip
+
+    def stage_rows(u, src, c, r0: int, r1: int):
+        # The in-VMEM u2s (same scheme + write-once rule as _kernel).
+        for p in range(2):
+            for q in range(2):
+                sg = (1 - p) * 2 + (1 - q)
+                dst = p * 2 + q
+                u[r0:r1, :, dst * c : (dst + 1) * c] = src[
+                    p + r0 : p + r1, q : q + n + 1, sg * c : (sg + 1) * c
+                ]
+
+    def conv_stage(u, w_ref, src, bias, mode, src_c4, dst_write):
+        """Strip loop: 4 MXU matmuls + epilogue; dst_write(j0, y) stores
+        the (strip, n, co) interior rows [j0+1, j0+1+strip)."""
+        co = w_ref.shape[-1]
+        for s_i in range(n_strips):
+            j0 = s_i * strip
+            acc = jnp.zeros((strip * n, co), jnp.float32)
+            for A in range(2):
+                for Bq in range(2):
+                    v = u[j0 + A : j0 + A + strip, Bq : Bq + n, :].reshape(
+                        strip * n, u.shape[-1])
+                    acc = acc + jnp.dot(
+                        v, w_ref[A * 2 + Bq],
+                        preferred_element_type=jnp.float32)
+            y = acc + bias[None, :]
+            if mode == "relu":
+                y = jnp.maximum(y, 0.0)
+            elif mode == "film":
+                trunk = src[j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :].reshape(
+                    strip * n, src_c4).astype(jnp.float32)
+                y = trunk + jnp.maximum(
+                    y * gamma[None, :] + beta[None, :], 0.0)
+            dst_write(j0, y.reshape(strip, n, co))
+
+    # --- stage 1: x -> h (VMEM scratch, padded plane, dtype-rounded) ----
+    stage_rows(u1, x, ci, 0, n + 1)
+    # h ring zeros (SAME-padding semantics for stage 2), written once.
+    h[0:1, :, :] = jnp.zeros((1, n + 2, c4m), h.dtype)
+    h[n + 1 : n + 2, :, :] = jnp.zeros((1, n + 2, c4m), h.dtype)
+    h[:, 0:1, :] = jnp.zeros((n + 2, 1, c4m), h.dtype)
+    h[:, n + 1 : n + 2, :] = jnp.zeros((n + 2, 1, c4m), h.dtype)
+
+    def h_write(j0, y):
+        h[j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :] = y.astype(h.dtype)
+
+    conv_stage(u1, w1_ref, x, bias1, modes[0], c4i, h_write)
+
+    # --- stage 2: h -> out ---------------------------------------------
+    stage_rows(u2, h, cm, 0, n + 1)
+    _zero_ring_ref(out_ref, n)
+
+    def out_write(j0, y):
+        out_ref[0, j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :] = y.astype(
+            out_ref.dtype)
+
+    conv_stage(u2, w2_ref, h, bias2, modes[1], c4m, out_write)
+
+
+def conv3x3_s2d_chain2(
+    x_padded: jnp.ndarray,  # (B, N+2, N+2, 4Ci)
+    w4_1: jnp.ndarray,      # (2, 2, 4Ci, 4Cm)
+    bias4_1: jnp.ndarray,   # (4Cm,)
+    w4_2: jnp.ndarray,      # (2, 2, 4Cm, 4Co)
+    bias4_2: jnp.ndarray,   # (4Co,)
+    gamma4: jnp.ndarray | None = None,  # (B, 4Cf) — film stage's width
+    beta4: jnp.ndarray | None = None,
+    modes: tuple = ("relu", "film"),
+    strip: int = 8,
+) -> jnp.ndarray:
+    """conv2[modes[1]](conv1[modes[0]](x)) in ONE kernel; the intermediate
+    padded plane never exists in HBM. Bit-identical to the sequential
+    conv3x3_s2d_fused composition (the intermediate is bf16-rounded in
+    VMEM exactly as the HBM round trip rounds it)."""
+    b, p_dim, in_cols, c4i = x_padded.shape
+    n = p_dim - 2
+    c4m = w4_1.shape[-1]
+    c4o = w4_2.shape[-1]
+    if len(modes) != 2 or sum(m == "film" for m in modes) > 1:
+        raise ValueError(f"chain2 modes must be 2 with <=1 film: {modes}")
+    if ALIGNED_STAGING:
+        # chain2 stages with the (default, measured-winner) unaligned
+        # scheme only; the rejected aligned layout would need its weight
+        # row-reversal threaded through both stages.
+        raise NotImplementedError("chain2 does not support ALIGNED_STAGING")
+    if modes[0] == "film" and c4i != c4m:
+        raise ValueError("film stage 1 requires C_mid == C_in")
+    if modes[1] == "film" and c4m != c4o:
+        raise ValueError("film stage 2 requires C_out == C_mid")
+    strip = _norm_strip(n, strip)
+    dt = x_padded.dtype
+    w1 = _w_rows_for_staging(w4_1, c4i, c4m).astype(dt)
+    w2 = _w_rows_for_staging(w4_2, c4m, c4o).astype(dt)
+    b1 = bias4_1.reshape(1, c4m).astype(jnp.float32)
+    b2 = bias4_2.reshape(1, c4o).astype(jnp.float32)
+    c4f = c4m if modes[0] == "film" else c4o
+    if gamma4 is None:
+        gamma4 = jnp.zeros((b, c4f), jnp.float32)
+        beta4 = jnp.zeros((b, c4f), jnp.float32)
+    gamma = gamma4.astype(jnp.float32).reshape(b, 1, c4f)
+    beta = beta4.astype(jnp.float32).reshape(b, 1, c4f)
+
+    return pl.pallas_call(
+        partial(_kernel_chain2, n=n, c4i=c4i, c4m=c4m, c4o=c4o, strip=strip,
+                modes=tuple(modes)),
+        out_shape=jax.ShapeDtypeStruct((b, p_dim, p_dim, c4o), dt),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, p_dim, in_cols, c4i), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2
+            pl.BlockSpec((1, 1, c4f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c4f), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p_dim, p_dim, c4o), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n + 1, n + 1, c4i), dt),
+            pltpu.VMEM((n + 2, n + 2, c4m), dt),
+            pltpu.VMEM((n + 1, n + 1, c4m), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * n * 4 * (c4i * c4m + c4m * c4o),
+            bytes_accessed=x_padded.size * 2 + b * p_dim * p_dim * c4o * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x_padded, w1, w2, b1, b2, gamma, beta)
+
+
+# ---------------------------------------------------------------------------
+# Chained whole-site kernel (round 5): conv_in (or the two-operand
+# no-concat decoder conv) -> FiLM site -> conv_out (+ optional fused
+# 2x2 max-pool), ONE pallas_call per generator site. Both intermediate
+# planes (h0 and the site output) live only in VMEM scratch; at L1/batch
+# 256 that removes ~5.4 ms of pure serial HBM time per site (two
+# store+load round trips of a 1.1 GB plane at 819 GB/s — serial by the
+# kernel-anatomy measurement, un-hideable by the three measured-rejected
+# overlap schemes). Bit-identity with the sequential kernels is preserved
+# by rounding each intermediate to the activation dtype in VMEM exactly
+# where the HBM round trip would round it, and accumulating the fused2
+# matmuls in the same per-tap interleaved order as _kernel2.
+# Write-once rule: u1a/u1b/h0/u2/s/u3 each written in exactly one
+# disjoint-region phase per grid step — RAW dependencies only.
+# INFERENCE-ONLY (no VJP), gated like fuse_pool behind on-chip
+# validation. Reference site structure: models/film.py / fast_gen
+# _block_pallas{,2} (reference `...twoCritics_training_4fold.py:420-495`).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_chain3(*refs, n: int, strip: int, c4a: int, c4b: int,
+                   c4m: int, c4o: int, pool: str, two_op: bool):
+    """Layout of ``refs`` (inputs, outputs, scratch — in pallas order):
+    x1[, x2], w1a[, w1b], b1, wf, bf, gamma, beta, w3, b3,
+    out[, pool_out], u1a[, u1b], h0, u2, s, u3."""
+    it = iter(refs)
+    x1 = next(it)[0]
+    x2 = next(it)[0] if two_op else None
+    w1a = next(it)
+    w1b = next(it) if two_op else None
+    b1 = next(it)[0]
+    wf = next(it)
+    bf = next(it)[0]
+    gamma = next(it)[0, 0]
+    beta = next(it)[0, 0]
+    w3 = next(it)
+    b3 = next(it)[0]
+    out_ref = next(it)
+    pool_ref = next(it) if pool else None
+    u1a = next(it)
+    u1b = next(it) if two_op else None
+    h0 = next(it)
+    u2 = next(it)
+    s = next(it)
+    u3 = next(it)
+
+    ca, cb, cm = c4a // 4, c4b // 4, c4m // 4
+    n_strips = n // strip
+
+    def stage_rows(u, src, c):
+        """Whole-plane in-VMEM u2s staging (write-once)."""
+        for p in range(2):
+            for q in range(2):
+                sg = (1 - p) * 2 + (1 - q)
+                dst = p * 2 + q
+                u[0 : n + 1, :, dst * c : (dst + 1) * c] = src[
+                    p : p + n + 1, q : q + n + 1, sg * c : (sg + 1) * c
+                ]
+
+    def zero_ring_scratch(m, c4):
+        m[0:1, :, :] = jnp.zeros((1, n + 2, c4), m.dtype)
+        m[n + 1 : n + 2, :, :] = jnp.zeros((1, n + 2, c4), m.dtype)
+        m[:, 0:1, :] = jnp.zeros((n + 2, 1, c4), m.dtype)
+        m[:, n + 1 : n + 2, :] = jnp.zeros((n + 2, 1, c4), m.dtype)
+
+    # --- stage 1: conv_in (one or two operands) -> h0 -------------------
+    stage_rows(u1a, x1, ca)
+    if two_op:
+        stage_rows(u1b, x2, cb)
+    zero_ring_scratch(h0, c4m)
+    for s_i in range(n_strips):
+        j0 = s_i * strip
+        acc = jnp.zeros((strip * n, c4m), jnp.float32)
+        for A in range(2):
+            for Bq in range(2):
+                v1 = u1a[j0 + A : j0 + A + strip, Bq : Bq + n, :].reshape(
+                    strip * n, c4a)
+                acc = acc + jnp.dot(v1, w1a[A * 2 + Bq],
+                                    preferred_element_type=jnp.float32)
+                if two_op:
+                    v2 = u1b[j0 + A : j0 + A + strip, Bq : Bq + n, :
+                             ].reshape(strip * n, c4b)
+                    acc = acc + jnp.dot(v2, w1b[A * 2 + Bq],
+                                        preferred_element_type=jnp.float32)
+        y = jnp.maximum(acc + b1[None, :], 0.0)
+        h0[j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :] = y.reshape(
+            strip, n, c4m).astype(h0.dtype)
+
+    # --- stage 2: FiLM site (trunk = h0) -> s ---------------------------
+    stage_rows(u2, h0, cm)
+    zero_ring_scratch(s, c4m)
+    for s_i in range(n_strips):
+        j0 = s_i * strip
+        acc = jnp.zeros((strip * n, c4m), jnp.float32)
+        for A in range(2):
+            for Bq in range(2):
+                v = u2[j0 + A : j0 + A + strip, Bq : Bq + n, :].reshape(
+                    strip * n, c4m)
+                acc = acc + jnp.dot(v, wf[A * 2 + Bq],
+                                    preferred_element_type=jnp.float32)
+        y = acc + bf[None, :]
+        trunk = h0[j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :].reshape(
+            strip * n, c4m).astype(jnp.float32)
+        y = trunk + jnp.maximum(y * gamma[None, :] + beta[None, :], 0.0)
+        s[j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :] = y.reshape(
+            strip, n, c4m).astype(s.dtype)
+
+    # --- stage 3: conv_out -> out (+ optional fused pool) ---------------
+    stage_rows(u3, s, cm)
+    _zero_ring_ref(out_ref, n)
+    if pool == "s2d":
+        _zero_ring_ref(pool_ref, n // 2)
+    for s_i in range(n_strips):
+        j0 = s_i * strip
+        acc = jnp.zeros((strip * n, c4o), jnp.float32)
+        for A in range(2):
+            for Bq in range(2):
+                v = u3[j0 + A : j0 + A + strip, Bq : Bq + n, :].reshape(
+                    strip * n, c4m)
+                acc = acc + jnp.dot(v, w3[A * 2 + Bq],
+                                    preferred_element_type=jnp.float32)
+        y = jnp.maximum(acc + b3[None, :], 0.0)
+        y = y.reshape(strip, n, c4o).astype(out_ref.dtype)
+        out_ref[0, j0 + 1 : j0 + 1 + strip, 1 : 1 + n, :] = y
+        if pool:
+            # identical pool emission to _kernel (bit-matches the
+            # separate pool kernels reading the stored plane).
+            cp = c4o // 4
+            gmax = jnp.maximum(
+                jnp.maximum(y[:, :, 0:cp], y[:, :, cp : 2 * cp]),
+                jnp.maximum(y[:, :, 2 * cp : 3 * cp], y[:, :, 3 * cp :]),
+            )
+            if pool == "pixel":
+                pool_ref[0, j0 : j0 + strip, 0:n, :] = gmax
+            else:  # 's2d'
+                s2, n2 = strip // 2, n // 2
+                rows4 = gmax.reshape(s2, 2, n, cp)
+                for p in range(2):
+                    t = jnp.swapaxes(rows4[:, p], 0, 1)
+                    tq = t.reshape(n2, 2, s2, cp)
+                    for q in range(2):
+                        blk = jnp.swapaxes(tq[:, q], 0, 1)
+                        dst = p * 2 + q
+                        pool_ref[
+                            0,
+                            j0 // 2 + 1 : j0 // 2 + 1 + s2,
+                            1 : n2 + 1,
+                            dst * cp : (dst + 1) * cp,
+                        ] = blk
+
+
+def conv3x3_s2d_chain3(
+    x_padded: jnp.ndarray,          # (B, N+2, N+2, 4Ca)
+    w1a4: jnp.ndarray,              # (2, 2, 4Ca, 4Cm)
+    bias14: jnp.ndarray,            # (4Cm,)
+    wf4: jnp.ndarray,               # (2, 2, 4Cm, 4Cm) — film conv
+    biasf4: jnp.ndarray,            # (4Cm,)
+    gamma4: jnp.ndarray,            # (B, 4Cm)
+    beta4: jnp.ndarray,             # (B, 4Cm)
+    w34: jnp.ndarray,               # (2, 2, 4Cm, 4Co)
+    bias34: jnp.ndarray,            # (4Co,)
+    x2_padded: jnp.ndarray | None = None,  # (B, N+2, N+2, 4Cb) — fused2 skip
+    w1b4: jnp.ndarray | None = None,       # (2, 2, 4Cb, 4Cm)
+    strip: int = 8,
+    pool: str = "",
+):
+    """A whole generator site in one kernel:
+    ``conv_out(film_site(conv_in(x[, skip])))`` with h0 and the site
+    output kept in VMEM only. Returns ``out`` — or ``(out, pooled)``
+    when ``pool`` is 's2d'/'pixel' (same contract as
+    conv3x3_s2d_fused_pool). Bit-identical to the sequential kernel
+    composition; INFERENCE-ONLY (no VJP)."""
+    b, p_dim, in_cols, c4a = x_padded.shape
+    n = p_dim - 2
+    c4m = w1a4.shape[-1]
+    c4o = w34.shape[-1]
+    two_op = x2_padded is not None
+    c4b = x2_padded.shape[-1] if two_op else 0
+    if wf4.shape[-1] != c4m:
+        raise ValueError("film conv must keep channels (residual add)")
+    if ALIGNED_STAGING:
+        raise NotImplementedError("chain3 does not support ALIGNED_STAGING")
+    strip = _norm_strip(n, strip)
+    if pool == "s2d" and (strip % 2 or n % 2):
+        raise ValueError("pool='s2d' needs even strip and even n")
+    if pool not in ("", "s2d", "pixel"):
+        raise ValueError(f"unknown pool mode {pool!r}")
+    dt = x_padded.dtype
+    w1a = _w_rows_for_staging(w1a4, c4a, c4m).astype(dt)
+    wf = _w_rows_for_staging(wf4, c4m, c4m).astype(dt)
+    w3 = _w_rows_for_staging(w34, c4m, c4o).astype(dt)
+    b1 = bias14.reshape(1, c4m).astype(jnp.float32)
+    bf = biasf4.reshape(1, c4m).astype(jnp.float32)
+    b3 = bias34.reshape(1, c4o).astype(jnp.float32)
+    gamma = gamma4.astype(jnp.float32).reshape(b, 1, c4m)
+    beta = beta4.astype(jnp.float32).reshape(b, 1, c4m)
+
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    per_b = lambda shape: pl.BlockSpec(shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+                                       memory_space=pltpu.VMEM)
+    in_specs = [per_b((1, p_dim, in_cols, c4a))]
+    operands = [x_padded]
+    if two_op:
+        in_specs.append(per_b((1, p_dim, x2_padded.shape[2], c4b)))
+        operands.append(x2_padded)
+        w1b = _w_rows_for_staging(w1b4, c4b, c4m).astype(dt)
+        in_specs.append(whole)
+        operands.append(w1a)
+        in_specs.append(whole)
+        operands.append(w1b)
+    else:
+        in_specs.append(whole)
+        operands.append(w1a)
+    in_specs += [whole, whole, whole, per_b((1, 1, c4m)), per_b((1, 1, c4m)),
+                 whole, whole]
+    operands += [b1, wf, bf, gamma, beta, w3, b3]
+
+    out_shapes = [jax.ShapeDtypeStruct((b, p_dim, p_dim, c4o), dt)]
+    out_specs = [per_b((1, p_dim, p_dim, c4o))]
+    if pool == "s2d":
+        n2 = n // 2
+        out_shapes.append(jax.ShapeDtypeStruct((b, n2 + 2, n2 + 2, c4o), dt))
+        out_specs.append(per_b((1, n2 + 2, n2 + 2, c4o)))
+    elif pool == "pixel":
+        out_shapes.append(jax.ShapeDtypeStruct((b, n, n, c4o // 4), dt))
+        out_specs.append(per_b((1, n, n, c4o // 4)))
+
+    scratch = [pltpu.VMEM((n + 1, n + 1, c4a), dt)]
+    if two_op:
+        scratch.append(pltpu.VMEM((n + 1, n + 1, c4b), dt))
+    scratch += [
+        pltpu.VMEM((n + 2, n + 2, c4m), dt),  # h0
+        pltpu.VMEM((n + 1, n + 1, c4m), dt),  # u2
+        pltpu.VMEM((n + 2, n + 2, c4m), dt),  # s
+        pltpu.VMEM((n + 1, n + 1, c4m), dt),  # u3
+    ]
+    flops = 2 * b * n * n * 4 * ((c4a + c4b) * c4m + c4m * c4m + c4m * c4o)
+    out = pl.pallas_call(
+        partial(_kernel_chain3, n=n, strip=strip, c4a=c4a, c4b=c4b,
+                c4m=c4m, c4o=c4o, pool=pool, two_op=two_op),
+        out_shape=tuple(out_shapes) if pool else out_shapes[0],
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if pool else out_specs[0],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_padded.size * 2
+            + (x2_padded.size * 2 if two_op else 0)
+            + b * p_dim * p_dim * c4o * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*operands)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -182,14 +182,23 @@ class FusedCritic:
 
         (d_pix,) = tail_vjp(jnp.ones_like(score))
 
+        def mask_ring(d_out, out):
+            """relu mask + ring zeroing as ONE fused elementwise pass (a
+            0/1 multiply — exact). The old slice+pad formulation measured
+            0.72 ms marginal at the L0 shape (round-5 critic roofline) —
+            as much as the transposed conv it fed; this runs at the ~0.13
+            ms elementwise floor."""
+            from .conv_s2d_pallas import _interior_mask
+
+            m = _interior_mask(out.shape[1], out.shape[2],
+                               out.shape[1] - 2, jnp.float32)
+            return (jnp.where(out > 0, d_out, 0.0) * m).astype(dt)
+
         def conv3_bwd(d_out, out, w4, c_in4):
             """Transpose of conv3x3_s2d_fused (relu mode): relu mask, then
             the flip-transposed s2d conv through the same Pallas op (primal
             position — first-order differentiable for the GP double bwd)."""
-            d_pre = jnp.where(out > 0, d_out, 0.0).astype(dt)
-            d_pre = jnp.pad(
-                d_pre[:, 1:-1, 1:-1, :], ((0, 0), (1, 1), (1, 1), (0, 0))
-            )
+            d_pre = mask_ring(d_out, out)
             return conv3x3_s2d_fused(
                 d_pre, _flip_transpose_w4(w4).astype(dt),
                 jnp.zeros((c_in4,), jnp.float32), mode="none", strip=st,
@@ -209,10 +218,7 @@ class FusedCritic:
         def conv5_bwd(d_out, out, w5, c_in4):
             """Transpose of conv5x5_s2d_fused (relu mode): relu mask, then
             the flip-transposed 5x5 conv through the same Pallas op."""
-            d_pre = jnp.where(out > 0, d_out, 0.0).astype(dt)
-            d_pre = jnp.pad(
-                d_pre[:, 1:-1, 1:-1, :], ((0, 0), (1, 1), (1, 1), (0, 0))
-            )
+            d_pre = mask_ring(d_out, out)
             w_bwd = jnp.flip(w5, axis=(0, 1)).transpose(0, 1, 3, 2)
             return conv5x5_s2d_fused(
                 d_pre, w_bwd.astype(dt),

@@ -137,6 +137,14 @@ class FusedGenerator:
         import os as _os
 
         self.fuse_pool = _os.environ.get("DEPGAN_FUSE_POOL") == "1"
+        # Chain each whole site (conv_in|fused2 -> film -> conv_out[+pool])
+        # into ONE kernel (conv3x3_s2d_chain3): both intermediate planes
+        # stay in VMEM, eliminating their HBM store+load pairs — the
+        # round-5 lever after all three store/fetch-overlap schemes
+        # measured REJECTED (docs/PERF.md). Bit-identical to the
+        # sequential kernels (CPU tests + scripts/onchip_validate.py);
+        # INFERENCE-ONLY (no VJP). DEPGAN_FUSE_CHAIN=0/1 overrides.
+        self.fuse_chain = _os.environ.get("DEPGAN_FUSE_CHAIN") == "1"
         # Run the 1x1 head conv on the bf16 activations (f32 accumulation
         # via preferred_element_type) instead of casting the full 128-ch
         # plane to f32 first: kills the 2x-bytes cast pass + halves the
@@ -323,10 +331,23 @@ class FusedGenerator:
         ``pool`` ('s2d'|'pixel', fuse_pool knob) makes the LAST conv also
         emit its 2x2 max-pool from the same VMEM pass; returns (h1, pooled)
         then instead of h1."""
-        from .conv_s2d_pallas import conv3x3_s2d_fused, conv3x3_s2d_fused_pool
+        from .conv_s2d_pallas import (
+            conv3x3_s2d_chain3,
+            conv3x3_s2d_fused,
+            conv3x3_s2d_fused_pool,
+        )
 
         dt = self.dtype
         gamma, beta = mods[site]
+        if self.fuse_chain and not self.ablate:
+            return conv3x3_s2d_chain3(
+                x_padded,
+                W[f"{cin_name}/kernel"].astype(dt), W[f"{cin_name}/bias"],
+                W[f"noise_{site}/kernel"].astype(dt), W[f"noise_{site}/bias"],
+                S.tile_channel_params(gamma), S.tile_channel_params(beta),
+                W[f"{cout_name}/kernel"].astype(dt), W[f"{cout_name}/bias"],
+                strip=self.strip, pool=pool,
+            )
         if f"conv_in:{site}" in self.ablate:
             co4 = W[f"{cin_name}/kernel"].shape[-1]
             h0 = _ablate_stub_channels(x_padded, co4)
@@ -365,6 +386,7 @@ class FusedGenerator:
         1x1 tanh head into the last conv's epilogue (inference only) and
         returns the UNPADDED tanh'd s2d head output instead."""
         from .conv_s2d_pallas import (
+            conv3x3_s2d_chain3,
             conv3x3_s2d_fused,
             conv3x3_s2d_fused2,
             conv3x3_s2d_fused_head,
@@ -372,6 +394,17 @@ class FusedGenerator:
 
         dt = self.dtype
         gamma, beta = mods[site]
+        if self.fuse_chain and not head and not self.ablate:
+            return conv3x3_s2d_chain3(
+                up,
+                W[f"{cin_name}/kernel_up"].astype(dt),
+                W[f"{cin_name}/bias"],
+                W[f"noise_{site}/kernel"].astype(dt), W[f"noise_{site}/bias"],
+                S.tile_channel_params(gamma), S.tile_channel_params(beta),
+                W[f"{cout_name}/kernel"].astype(dt), W[f"{cout_name}/bias"],
+                x2_padded=skip, w1b4=W[f"{cin_name}/kernel_skip"].astype(dt),
+                strip=self.strip,
+            )
         if f"fused2:{site}" in self.ablate:
             co4 = W[f"{cin_name}/kernel_up"].shape[-1]
             h0 = _ablate_stub_channels(up, co4)

@@ -172,11 +172,18 @@ class GanTrainer:
         train_cfg: GanTrainConfig,
         data_cfg: DataConfig | None = None,
         mesh=None,
+        _inner: bool = False,
     ):
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         self.threshold = (data_cfg or DataConfig()).wmh_threshold
         self.mesh = mesh
+        # _inner: this trainer runs INSIDE the multi-fold trainer's
+        # partial-manual shard_map (manual over `fold`, GSPMD-auto over
+        # `data`): the in-jit constrain_batch pins still apply (that is the
+        # per-fold data parallelism), but host-side device_puts are the
+        # outer trainer's job (init_state is vmapped there).
+        self._inner = _inner
         # Real data parallelism (SURVEY §2.7): batch leaves pinned to the
         # mesh's data axis inside the superstep; params stay replicated and
         # XLA inserts the gradient psum from the shardings alone.
@@ -230,7 +237,7 @@ class GanTrainer:
             ddem_params=ddem,
             ddem_opt=self.tx_d.init(ddem),
         )
-        if self.mesh is not None:
+        if self.mesh is not None and not self._inner:
             state = meshlib.put_replicated(state, self.mesh)
         return state
 

@@ -42,15 +42,30 @@ from .gan_trainer import (
 from .state import Counters
 
 
-def shard_map(f, mesh, in_specs, out_specs):
+def shard_map(f, mesh, in_specs, out_specs, manual_axes=None):
     """jax.shard_map across the JAX API rename, replication checks off (the
-    fold-stacked trainers return per-shard trees under fold specs)."""
+    fold-stacked trainers return per-shard trees under fold specs).
+
+    ``manual_axes``: restrict manual partitioning to these mesh axes —
+    the remaining axes stay AUTO (GSPMD), which is how the per-fold data
+    parallelism composes: manual over `fold` (each fold group runs the
+    plain single-fold superstep), auto over `data` (the inner trainer's
+    constrain_batch pins shard the batch; XLA derives the gradient
+    psums). None = fully manual (all axes), the pre-round-5 behavior."""
     try:
         from jax import shard_map as _shard_map
 
+        kw = {}
+        if manual_axes is not None:
+            kw["axis_names"] = frozenset(manual_axes)
         return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs, check_vma=False)
+                          out_specs=out_specs, check_vma=False, **kw)
     except ImportError:
+        if manual_axes is not None:
+            raise RuntimeError(
+                "partial-manual shard_map (fold x data composition) needs "
+                "jax.shard_map with axis_names; this JAX only has the "
+                "experimental API")
         from jax.experimental.shard_map import shard_map as _shard_map
 
         return _shard_map(f, mesh=mesh, in_specs=in_specs,
@@ -65,7 +80,22 @@ class MultiFoldGanTrainer:
         self.mesh = mesh
         self.n_folds = mesh.shape[FOLD_AXIS]
         self.cfg = train_cfg
-        self.base = GanTrainer(model_cfg, train_cfg, data_cfg, mesh=None)
+        # fold x data composition (round 5, SURVEY §2.7's production v4-8
+        # layout): when the mesh carries a >1-way data axis AND the batch
+        # divides over it, the inner single-fold trainer is built WITH the
+        # mesh (its in-jit constrain_batch pins shard each fold's batch
+        # over `data`), and every shard_map below goes partial-manual
+        # (manual over `fold`, GSPMD-auto over `data` — XLA inserts the
+        # per-fold gradient psums from the shardings). Otherwise the data
+        # axis (if any) is replicated, the pre-round-5 behavior.
+        from ..parallel import mesh as meshlib
+
+        self.data_parallel = meshlib.data_parallel(mesh, train_cfg.batch_size)
+        self._manual = (FOLD_AXIS,) if self.data_parallel else None
+        self.base = GanTrainer(
+            model_cfg, train_cfg, data_cfg,
+            mesh=mesh if self.data_parallel else None, _inner=True,
+        )
 
         self._fold_sharding = NamedSharding(mesh, P(FOLD_AXIS))
         self._idx_sharding = NamedSharding(mesh, P(FOLD_AXIS))
@@ -92,6 +122,7 @@ class MultiFoldGanTrainer:
                     per_shard, self.mesh,
                     in_specs=(fold, fold, fold, fold, P(), fold),
                     out_specs=(fold, fold),
+                    manual_axes=self._manual,
                 ),
                 donate_argnums=0,
             )
@@ -136,6 +167,7 @@ class MultiFoldGanTrainer:
                     in_specs=(fold, fold, fold, fold, P(), P(),
                               P(None, FOLD_AXIS, None)),
                     out_specs=(fold, fold),
+                    manual_axes=self._manual,
                 ),
                 donate_argnums=0,
             )
@@ -173,6 +205,7 @@ class MultiFoldGanTrainer:
                 per_shard_val, self.mesh,
                 in_specs=(fold, fold, fold, fold),
                 out_specs=(fold, fold, fold, fold),
+                manual_axes=self._manual,
             )
         )
 

@@ -38,7 +38,8 @@ BATCH = 256
 
 def measure(variables, fuse_pool: bool = False, head_bf16: bool = False,
             fuse_head: bool = False, strip: int = 16,
-            stream_out: bool | None = None) -> float:
+            stream_out: bool | None = None, fuse_chain: bool = False,
+            batch: int = BATCH) -> float:
     if stream_out is not None:
         csp.STREAM_OUT = stream_out
     cfg = ModelConfig(
@@ -49,7 +50,9 @@ def measure(variables, fuse_pool: bool = False, head_bf16: bool = False,
     fast.fuse_head = fuse_head
     fast.fuse_pool = fuse_pool
     fast.head_bf16 = head_bf16
+    fast.fuse_chain = fuse_chain
     fast.strip = strip
+    BATCH_ = batch
 
     @jax.jit
     def forward_scan(weights, x, zs):
@@ -60,15 +63,15 @@ def measure(variables, fuse_pool: bool = False, head_bf16: bool = False,
         _, sums = jax.lax.scan(body, x, zs)
         return jnp.sum(sums)
 
-    x = jax.random.uniform(jax.random.key(0), (BATCH, 256, 256, 1))
-    zs = jax.random.normal(jax.random.key(1), (N_SCAN, BATCH, 32, 1))
+    x = jax.random.uniform(jax.random.key(0), (BATCH_, 256, 256, 1))
+    zs = jax.random.normal(jax.random.key(1), (N_SCAN, BATCH_, 32, 1))
     float(forward_scan(fast.weights, x, zs))  # compile + first run
     reps = []
     for _ in range(4):
         t0 = time.perf_counter()
         float(forward_scan(fast.weights, x, zs))
         reps.append(time.perf_counter() - t0)
-    return N_SCAN * BATCH / min(reps)
+    return N_SCAN * BATCH_ / min(reps)
 
 
 def main():
@@ -78,25 +81,35 @@ def main():
         compute_dtype="bfloat16",
     )
     _, variables = init_generator(cfg, jax.random.key(0))
-    # Round-4b matrix: streaming output stores (STREAM_OUT, the
-    # kernel-anatomy finding that the conv store does not overlap the
-    # MXU) x pool fusion (the settled round-4a winner, kept as a sanity
-    # column). head_bf16 measured a wash and is dropped from the matrix.
-    default_stream = csp.STREAM_OUT
-    for stream_out in (False, True):
+    # Round-5 matrix: whole-site chain kernels (fuse_chain,
+    # conv3x3_s2d_chain3 — HBM boundary elimination after the overlap
+    # family measured rejected) x pool fusion. stream_out settled
+    # REJECTED in round 4 and is dropped from the matrix.
+    for fuse_chain in (False, True):
         for fuse_pool in (False, True):
             try:
                 v = measure(variables, fuse_pool=fuse_pool,
-                            stream_out=stream_out)
-                print(f"stream_out={int(stream_out)} "
+                            fuse_chain=fuse_chain)
+                print(f"fuse_chain={int(fuse_chain)} "
                       f"fuse_pool={int(fuse_pool)}"
                       f" -> {v:8.1f} slices/s", flush=True)
             except Exception as e:
-                print(f"stream_out={int(stream_out)} "
+                print(f"fuse_chain={int(fuse_chain)} "
                       f"fuse_pool={int(fuse_pool)}"
                       f" FAILED {type(e).__name__}: "
                       f"{str(e).splitlines()[0][:120]}", flush=True)
-    csp.STREAM_OUT = default_stream
+    # batch sweep at the chain+pool configuration (HBM-elimination wins
+    # scale with batch; 512 was only ever measured under the rejected
+    # aligned staging).
+    for batch in (384, 512):
+        try:
+            v = measure(variables, fuse_pool=True, fuse_chain=True,
+                        batch=batch)
+            print(f"fuse_chain=1 fuse_pool=1 batch={batch}"
+                  f" -> {v:8.1f} slices/s", flush=True)
+        except Exception as e:
+            print(f"batch={batch} FAILED {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -9,7 +9,8 @@ XLA-twin check, the profiles are meaningless and are skipped.
 Run (real TPU): python scripts/onchip_session.py [phases]
   phases: comma list of {validate,micro,critic,critic_roofline,superstep,
   ab,roofline,anatomy}; default all of those. Opt-in-only extras (request
-  explicitly): rowblk (the row-blocked-output conv pipeline probe),
+  explicitly): chain (the whole-site chained-kernel A/B probe),
+  rowblk (the row-blocked-output conv pipeline probe),
   packed_tap (the pixel-domain boundary-op probe), ablation
   (TRUE in-graph per-stage forward costs by end-to-end differencing),
   anchor (scripts/fold_anchor.py, the measured GAN training-wall anchor),
@@ -31,17 +32,31 @@ PHASES = ("validate", "micro", "critic", "critic_roofline", "superstep",
 #   bench  — the BENCH headline (depgan_tpu.benchmarks.gen_inference_bench).
 
 
-def run_phase(name, fn):
+def run_phase(name, fn, retries: int = 1):
+    """Run one phase; on a TRANSPORT failure (the axon tunnel's transient
+    'remote_compile: read body' / connection drops — round 5 saw two, ~40
+    min apart) retry the whole phase in-process: already-compiled graphs
+    are cached, so the re-run skips straight to the failed call."""
     print(f"\n===== {name} =====", flush=True)
     t0 = time.time()
-    try:
-        fn()
-        ok = True
-    except SystemExit as e:  # onchip_validate exits nonzero on failures
-        ok = (e.code or 0) == 0
-    except Exception:
-        traceback.print_exc()
-        ok = False
+    ok = False
+    for attempt in range(retries + 1):
+        try:
+            fn()
+            ok = True
+        except SystemExit as e:  # onchip_validate exits nonzero on failures
+            ok = (e.code or 0) == 0
+        except Exception as e:
+            traceback.print_exc()
+            transient = "remote_compile" in str(e) or "read body" in str(e)
+            if transient and attempt < retries:
+                print(f"----- {name}: transient transport error, retrying "
+                      f"({attempt + 1}/{retries}) after 60 s -----",
+                      flush=True)
+                time.sleep(60)
+                continue
+            ok = False
+        break
     print(f"===== {name}: {'ok' if ok else 'FAILED'} "
           f"({time.time() - t0:.0f}s) =====", flush=True)
     return ok
@@ -94,6 +109,10 @@ def main():
         import rowblk_probe
 
         run_phase("rowblk", rowblk_probe.main)
+    if "chain" in want:
+        import chain_probe
+
+        run_phase("chain", chain_probe.main)
     if "ablation" in want:
         import ablation_forward
 

@@ -188,6 +188,71 @@ def check_conv3_pool(n, cin, cout, strip, pool, b=4, tol=0.0, seed=21):
            got_p, want_p, tol)
 
 
+def check_chain3(n, cin, cmid, cout, strip, pool="", c_skip=0, b=4, tol=0.0,
+                 seed=60):
+    """conv3x3_s2d_chain3 (whole site in one kernel, round 5) vs the exact
+    sequential composition it replaces — intermediates are dtype-rounded in
+    VMEM exactly as the HBM round trip rounds them, so tol 0."""
+    from depgan_tpu.ops.conv_s2d_pallas import (
+        conv3x3_s2d_chain3,
+        conv3x3_s2d_fused_pool,
+    )
+
+    k = jax.random.key
+    two_op = c_skip > 0
+    c4i, c4b, c4m, c4o = 4 * cin, 4 * c_skip, 4 * cmid, 4 * cout
+    x1 = jax.random.normal(k(seed), (b, n + 2, n + 2, c4i), jnp.float32)
+    x1 = jnp.asarray(x1, DT).at[:, 0].set(0).at[:, -1].set(0)
+    x1 = x1.at[:, :, 0].set(0).at[:, :, -1].set(0)
+    if two_op:
+        x2 = jax.random.normal(k(seed + 9), (b, n + 2, n + 2, c4b),
+                               jnp.float32)
+        x2 = jnp.asarray(x2, DT).at[:, 0].set(0).at[:, -1].set(0)
+        x2 = x2.at[:, :, 0].set(0).at[:, :, -1].set(0)
+    w1a = jnp.asarray(
+        jax.random.normal(k(seed + 1), (2, 2, c4i, c4m)) * 0.05, DT)
+    w1b = (jnp.asarray(
+        jax.random.normal(k(seed + 2), (2, 2, c4b, c4m)) * 0.05, DT)
+        if two_op else None)
+    b1 = jax.random.normal(k(seed + 3), (c4m,), jnp.float32) * 0.1
+    wf = jnp.asarray(
+        jax.random.normal(k(seed + 4), (2, 2, c4m, c4m)) * 0.05, DT)
+    bf = jax.random.normal(k(seed + 5), (c4m,), jnp.float32) * 0.1
+    g = jax.random.normal(k(seed + 6), (b, c4m), jnp.float32)
+    bt = jax.random.normal(k(seed + 7), (b, c4m), jnp.float32)
+    w3 = jnp.asarray(
+        jax.random.normal(k(seed + 8), (2, 2, c4m, c4o)) * 0.05, DT)
+    b3 = jax.random.normal(k(seed + 10), (c4o,), jnp.float32) * 0.1
+
+    def seq(x1, *x2s):
+        if two_op:
+            h0 = conv3x3_s2d_fused2(x1, x2s[0], w1a, w1b, b1, strip=strip)
+        else:
+            h0 = conv3x3_s2d_fused(x1, w1a, b1, mode="relu", strip=strip)
+        s = conv3x3_s2d_fused(h0, wf, bf, g, bt, mode="film", strip=strip)
+        if pool:
+            return conv3x3_s2d_fused_pool(s, w3, b3, mode="relu",
+                                          strip=strip, pool=pool)
+        return conv3x3_s2d_fused(s, w3, b3, mode="relu", strip=strip)
+
+    def chain(x1, *x2s):
+        return conv3x3_s2d_chain3(
+            x1, w1a, b1, wf, bf, g, bt, w3, b3,
+            x2_padded=x2s[0] if two_op else None, w1b4=w1b,
+            strip=strip, pool=pool)
+
+    args = (x1, x2) if two_op else (x1,)
+    want = jax.jit(seq)(*args)
+    got = jax.jit(chain)(*args)
+    tag = (f"chain3 n={n} c={cin}" + (f"+{c_skip}" if two_op else "")
+           + f"->{cmid}->{cout}" + (f" pool[{pool}]" if pool else ""))
+    if pool:
+        _check(f"{tag} (conv out)", got[0], want[0], tol)
+        _check(f"{tag} (pooled)", got[1], want[1], tol)
+    else:
+        _check(tag, got, want, tol)
+
+
 def check_conv5(n, cin, cout, strip, b=4, tol=0.15, seed=7):
     x = jax.random.normal(jax.random.key(seed), (b, 2 * n, 2 * n, cin),
                           jnp.float32)
@@ -578,6 +643,7 @@ def check_superstep_trajectory(image_size=256, batch=4, rtol=0.05, seed=90):
 
 
 def main():
+    del FAILS[:]  # re-runnable in-process (onchip_session retries phases)
     float(jax.jit(lambda v: (v @ v).sum())(jnp.ones((128, 128))))
     print(f"backend: {jax.default_backend()}", flush=True)
 
@@ -650,6 +716,16 @@ def main():
     check_conv3_pool(128, 32, 32, 16, pool="s2d")
     check_conv3_pool(64, 64, 64, 16, pool="pixel")
     check_conv3_pool(64, 32, 64, 16, pool="s2d", seed=22)
+    # whole-site chain kernel (round 5): the four production sites of
+    # FastGenerator's fuse_chain path (enc m1/m2 with their fuse_pool
+    # variants, dec p2/p1 two-operand) — must bit-match the sequential
+    # kernel composition (tol 0).
+    check_chain3(128, 8, 32, 32, 16, pool="s2d", seed=60)    # enc m1
+    check_chain3(128, 8, 32, 32, 16, pool="", seed=61)       # enc m1 -pool
+    check_chain3(64, 32, 64, 64, 16, pool="pixel", seed=62)  # enc m2
+    check_chain3(64, 32, 64, 64, 16, pool="", seed=63)       # enc m2 -pool
+    check_chain3(64, 96, 64, 64, 16, pool="", c_skip=64, seed=64)  # dec p2
+    check_chain3(128, 64, 32, 32, 16, pool="", c_skip=32, seed=65)  # dec p1
     # relayouts
     check_pools(128, 32)
     check_pools(64, 64)
