@@ -85,6 +85,57 @@ def gen_inference_bench(n_scan: int = 32, batch: int = 256) -> dict:
     }
 
 
+def uresnet_inference_bench(n_scan: int = 32, batch: int = 256) -> dict:
+    """Serving throughput of the supervised DEP-UResNet (4-class softmax
+    head) through the same FastGenerator path and measurement methodology
+    as gen_inference_bench — VERDICT r4 item 9. Reference hot loop:
+    DEP-UResNet_testing_4fold.py:552-564 (10x stochastic ensemble of
+    model.predict over each subject's slices)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .config import ModelConfig
+    from .models import init_generator
+    from .ops.fast_gen import FastGenerator
+
+    _warmup_backend()
+
+    cfg = ModelConfig(
+        image_size=256, first_fm=32, n_input_channels=1, n_out=4,
+        dropout_mode="uresnet", compute_dtype="bfloat16",
+    )
+    _, variables = init_generator(cfg, jax.random.key(0))
+    fast = FastGenerator(cfg, variables, s2d_levels=(), pallas_levels=(1, 2))
+
+    @jax.jit
+    def forward_scan(weights, x, zs):
+        def body(carry, z):
+            y = fast._forward(weights, carry, z)
+            return jnp.tanh(carry + 1e-12 * y[..., :1]), jnp.sum(y)
+
+        _, sums = jax.lax.scan(body, x, zs)
+        return jnp.sum(sums)
+
+    x = jax.random.uniform(jax.random.key(0), (batch, 256, 256, 1))
+    zs = jax.random.normal(jax.random.key(1), (n_scan, batch, 32, 1))
+    float(forward_scan(fast.weights, x, zs))
+
+    reps = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        float(forward_scan(fast.weights, x, zs))
+        reps.append(time.perf_counter() - t0)
+    dt = min(reps)
+
+    slices_per_sec = n_scan * batch / dt
+    return {
+        "metric": "uresnet_inference_throughput",
+        "value": round(slices_per_sec, 1),
+        "unit": "256x256_slices/sec/chip",
+        "vs_baseline": round(slices_per_sec / BASELINE_SLICES_PER_SEC, 3),
+    }
+
+
 def gan_step_bench(batch: int = 16, d_iters: int = 5, k_noise: int = 10,
                    image_size: int = 256, use_pallas: bool = False) -> dict:
     """Wall time of one jitted two-critic superstep (D critic updates per

@@ -10,7 +10,7 @@ The reference has no CLI — its scripts are edited in place then run
     depgan test-gan       --weights 'models/netG_depgan_fold{fold}.h5'
     depgan test-uresnet   --weights 'models/trained_depuresnet_fold{fold}.h5'
     depgan import-weights --h5 netG.h5 --out vars.msgpack
-    depgan bench          --what gen-inference|gan-step
+    depgan bench          --what gen-inference|uresnet-inference|gan-step
 """
 
 from __future__ import annotations
@@ -143,7 +143,8 @@ def main(argv=None) -> int:
                         "(flax.serialization), e.g. vars.msgpack")
 
     p = sub.add_parser("bench", help="throughput benchmarks (one JSON line)")
-    p.add_argument("--what", choices=("gen-inference", "gan-step"),
+    p.add_argument("--what",
+                   choices=("gen-inference", "uresnet-inference", "gan-step"),
                    default="gen-inference")
 
     args = parser.parse_args(argv)
@@ -259,6 +260,7 @@ def main(argv=None) -> int:
 
         fn = {
             "gen-inference": benchmarks.gen_inference_bench,
+            "uresnet-inference": benchmarks.uresnet_inference_bench,
             "gan-step": benchmarks.gan_step_bench,
         }[args.what]
         print(json.dumps(fn()))

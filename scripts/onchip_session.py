@@ -132,6 +132,14 @@ def main():
 
         run_phase("bench", lambda: print(json.dumps(gen_inference_bench()),
                                          flush=True))
+    if "bench_uresnet" in want:
+        import json
+
+        from depgan_tpu.benchmarks import uresnet_inference_bench
+
+        run_phase("bench_uresnet",
+                  lambda: print(json.dumps(uresnet_inference_bench()),
+                                flush=True))
 
 
 if __name__ == "__main__":
