@@ -53,6 +53,14 @@ def evaluate_gan_subject(
     vol_pred = M.volume_ml(wmh_pred, subject.pixdim)
 
     vol = M.volumetric_metrics(vol_1tp, vol_2tp, vol_pred)
+    # Print-only IM/PM-derived WMH volumes (reference :655-671: computed
+    # and printed per subject but never written to the CSV — reproduced
+    # for console parity; note the reference thresholds these with >=,
+    # unlike the strict > above).
+    vol_1tp_ml_im = M.volume_ml(subject.prob_1tp >= threshold, subject.pixdim)
+    vol_2tp_ml_im = M.volume_ml(subject.prob_2tp >= threshold, subject.pixdim)
+    print(f"VOL (vol_1tp_ml_im): {vol_1tp_ml_im}", flush=True)
+    print(f"VOL (vol_2tp_ml_im): {vol_2tp_ml_im}", flush=True)
     change_fake = M.code_change_map(y2_fake, subject.prob_1tp, threshold)
     dices = M.dice_suite(change_fake, subject.code_2tp)
     return vol, dices, y2_fake, change_fake

@@ -98,14 +98,14 @@ def main():
                       f"fuse_pool={int(fuse_pool)}"
                       f" FAILED {type(e).__name__}: "
                       f"{str(e).splitlines()[0][:120]}", flush=True)
-    # batch sweep at the chain+pool configuration (HBM-elimination wins
-    # scale with batch; 512 was only ever measured under the rejected
-    # aligned staging).
+    # batch sweep at the WINNER config (fuse_chain measured rejected:
+    # 2468-2480 vs 2848 at batch 256; batch>256 was only ever measured
+    # under rejected variants — aligned staging r3, chain r5).
     for batch in (384, 512):
         try:
-            v = measure(variables, fuse_pool=True, fuse_chain=True,
+            v = measure(variables, fuse_pool=True, fuse_chain=False,
                         batch=batch)
-            print(f"fuse_chain=1 fuse_pool=1 batch={batch}"
+            print(f"fuse_chain=0 fuse_pool=1 batch={batch}"
                   f" -> {v:8.1f} slices/s", flush=True)
         except Exception as e:
             print(f"batch={batch} FAILED {type(e).__name__}: "

@@ -113,6 +113,18 @@ def main():
         import chain_probe
 
         run_phase("chain", chain_probe.main)
+    if "trajectory" in want:
+        import onchip_validate as ov
+
+        def _traj():
+            del ov.FAILS[:]
+            float(__import__("jax").jit(lambda v: (v @ v).sum())(
+                __import__("jax.numpy", fromlist=["ones"]).ones((128, 128))))
+            ov.check_superstep_trajectory()
+            if ov.FAILS:
+                raise SystemExit(1)
+
+        run_phase("trajectory", _traj)
     if "ablation" in want:
         import ablation_forward
 

@@ -608,6 +608,11 @@ def check_superstep_trajectory(image_size=256, batch=4, rtol=0.05, seed=90):
     from depgan_tpu.config import DataConfig, GanTrainConfig, ModelConfig
     from depgan_tpu.train import GanTrainer
 
+    # The two superstep compiles below are the longest silent stretch of
+    # the whole validation (>10 min on a slow remote-compile day) — print
+    # so external stall watchdogs can tell compiling from hung.
+    print("... superstep trajectory check: compiling fused + plain "
+          "supersteps (long silent compiles are normal here)", flush=True)
     rng = onp.random.default_rng(seed)
     n = 2 * batch
     x_all = jnp.asarray(rng.uniform(0, 1, (n, image_size, image_size, 1)),
