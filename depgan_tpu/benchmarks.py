@@ -30,7 +30,7 @@ def _warmup_backend():
     float(jax.jit(lambda v: (v @ v).sum())(jnp.ones((128, 128))))
 
 
-def gen_inference_bench(n_scan: int = 32, batch: int = 256) -> dict:
+def gen_inference_bench(n_scan: int = 32, batch: int = 512) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -48,10 +48,13 @@ def gen_inference_bench(n_scan: int = 32, batch: int = 256) -> dict:
     # Fused Pallas s2d path at the two highest-resolution levels: conv+FiLM
     # epilogues and the pool/concat relayouts all run in VMEM, and the pool
     # between levels 1 and 2 emits the next level's layout directly
-    # (see docs/PERF.md). Batch 256 amortises per-kernel overheads ~17%
-    # better than 64 (measured; 128 -> 256 is +1%); the ensemble serving
-    # path has 420 slices (42 slices x 10 noise repeats) available per
-    # subject, so a 256-slice batch is realistic, not a bench artifact.
+    # (see docs/PERF.md). Batch: 64 -> 256 amortises per-kernel overheads
+    # ~18% (measured round 2); 256 -> 512 is a further +1.4% (round-5
+    # ab_inference: 2884 vs 2844 slices/s) and is the default. A single
+    # subject's ensemble supplies 420 slices (42 slices x 10 noise
+    # repeats), so batch 512 corresponds to a server batching two
+    # in-flight subjects; the per-subject-batch (256) number is within
+    # 1.4% — both are recorded in docs/PERF.md.
     fast = FastGenerator(cfg, variables, s2d_levels=(), pallas_levels=(1, 2))
 
     @jax.jit
