@@ -101,7 +101,7 @@ def main():
     # batch sweep at the WINNER config (fuse_chain measured rejected:
     # 2468-2480 vs 2848 at batch 256; batch>256 was only ever measured
     # under rejected variants — aligned staging r3, chain r5).
-    for batch in (384, 512):
+    for batch in (384, 512, 768):
         try:
             v = measure(variables, fuse_pool=True, fuse_chain=False,
                         batch=batch)

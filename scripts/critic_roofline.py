@@ -253,9 +253,20 @@ def main():
           lambda b: rand_px(b, 64, 32, dtype=DT), (params,))
 
     def mask_pad(d_out, out):
+        """The OLD slice+pad glue (kept for comparison rows — measured
+        0.72 ms marginal at n=128, round 5)."""
         d_pre = jnp.where(out > 0, d_out, 0.0).astype(DT)
         return jnp.pad(d_pre[:, 1:-1, 1:-1, :],
                        ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def mask_mul(d_out, out):
+        """The PRODUCTION glue since round 5 (fast_critic.mask_ring): one
+        fused elementwise pass via a multiplicative 0/1 interior mask."""
+        from depgan_tpu.ops.conv_s2d_pallas import _interior_mask
+
+        m = _interior_mask(out.shape[1], out.shape[2], out.shape[1] - 2,
+                           jnp.float32)
+        return (jnp.where(out > 0, d_out, 0.0) * m).astype(DT)
 
     def conv5_bwd_full(d_out, out, w5, c_in4):
         d_pre = mask_pad(d_out, out)
@@ -272,6 +283,9 @@ def main():
     ]
     for tag, n, c4o, c4i, w5 in bwd_shapes:
         stage(f"BWD maskpad {tag} (n={n}, c4={c4o})", mask_pad,
+              lambda b, n=n, c=c4o: rand_s2d(b, n, c, 1),
+              args_fn=lambda b, n=n, c=c4o: (rand_s2d(b, n, c, 2),))
+        stage(f"BWD maskmul {tag} (n={n}, c4={c4o})", mask_mul,
               lambda b, n=n, c=c4o: rand_s2d(b, n, c, 1),
               args_fn=lambda b, n=n, c=c4o: (rand_s2d(b, n, c, 2),))
         # w5/c4i bound statically (c4i sizes the zero bias — must not be
@@ -300,9 +314,13 @@ def main():
     stage("BWD entry adjoint (d2s)", entry_adj,
           lambda b: rand_s2d(b, 128, 16), ())
 
-    n_bwd = 1 + 2 * len(bwd_shapes) + 3  # tail vjp + pieces + pools + entry
+    n_bwd = 1 + 3 * len(bwd_shapes) + 3  # tail vjp + pieces + pools + entry
     bwd_rows = ROWS[-n_bwd:]
-    bwd_marg = sum(r[2] - r[1] for r in bwd_rows)
+    # maskmul rows are the PRODUCTION glue measured for comparison against
+    # the old maskpad rows — exclude them from the chain sum (the conv5T
+    # rows already include their own glue).
+    bwd_marg = sum(r[2] - r[1] for r in bwd_rows
+                   if "maskmul" not in r[0] and "maskpad" not in r[0])
     full_g = next(r for r in ROWS if r[0].startswith("FULL fwd +"))
     fwd_full = next(r for r in ROWS if r[0].startswith("FULL critic fwd fused"))
     print("-" * 86, flush=True)
